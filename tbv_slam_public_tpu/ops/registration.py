@@ -1,0 +1,426 @@
+"""Sliding-window scan registration as batched Gauss-Newton / LM.
+
+TPU-native re-design of n_scan_normal_reg (reference n_scan_normal.cpp:82-460):
+Ceres autodiff + kd-tree association are replaced by
+
+- masked brute-force top-1 association on distance matrices (MXU matmul form)
+  with the radius + cos(30 deg) normal gates and the coarse-to-fine doubled
+  radius on the first iteration (n_scan_normal.cpp:213-261),
+- residual-similarity weights (registration.cpp:67-75),
+- closed-form 3-DoF Levenberg-Marquardt with Huber IRLS over (x, y, theta) of
+  the single movable (source) scan — incremental mode with all target scans
+  fixed (n_scan_normal.cpp:342-390),
+- the reference's outer-loop convergence guards reproduced as masked early
+  exit (n_scan_normal.cpp:125-152).
+
+Everything is jittable and vmap-able; a batch of loop-candidate pairs is one
+``vmap`` over this module (sharded across chips in
+:mod:`tbv_slam_public_tpu.parallel`).
+
+Cost convention matches Ceres: total cost = 0.5 * sum_i w_i * rho(|r_i|^2),
+so scores are comparable with the reference's `summary_.final_cost`.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core import se2
+from ..core.config import RegistrationConfig
+from ..core.types import Cells, RegistrationResult
+
+COST_P2L = 0
+COST_P2D = 1
+COST_P2P = 2
+
+LOSS_NONE = 0
+LOSS_HUBER = 1
+LOSS_CAUCHY = 2
+
+_COST_CODES = {"P2L": COST_P2L, "P2D": COST_P2D, "P2P": COST_P2P}
+_LOSS_CODES = {"none": LOSS_NONE, "huber": LOSS_HUBER, "cauchy": LOSS_CAUCHY}
+
+
+def cost_code(name: str) -> int:
+    return _COST_CODES[name.upper()]
+
+
+def loss_code(name: str) -> int:
+    return _LOSS_CODES[name.lower()]
+
+
+@struct.dataclass
+class Associations:
+    """Per (target-scan, source-cell) association, fixed during inner solves."""
+
+    tgt_mean_w: jnp.ndarray  # [T, C, 2] world-frame target mean
+    tgt_normal_w: jnp.ndarray  # [T, C, 2] world-frame target normal
+    tgt_sqrtinfo: jnp.ndarray  # [T, C, 2, 2] P2D sqrt-information
+    weight: jnp.ndarray  # [T, C] association (similarity) weight
+    mask: jnp.ndarray  # [T, C] bool
+
+
+def _pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Squared distances [N, M] between point sets [N,2] and [M,2]."""
+    return (
+        jnp.sum(a * a, axis=1)[:, None]
+        + jnp.sum(b * b, axis=1)[None, :]
+        - 2.0 * a @ b.T
+    )
+
+
+def _similarity(x, y):
+    """2*min/(x+y) similarity (registration.h:96)."""
+    return 2.0 * jnp.minimum(x, y) / jnp.maximum(x + y, 1e-12)
+
+
+def _rho_and_weight(s: jnp.ndarray, loss: int, delta: float):
+    """Robust loss rho(s) on squared residuals and IRLS weight rho'(s).
+
+    Huber follows the Ceres convention (s <= d^2: rho=s else 2d*sqrt(s)-d^2).
+    """
+    if loss == LOSS_HUBER:
+        sqrt_s = jnp.sqrt(jnp.maximum(s, 1e-20))
+        rho = jnp.where(s <= delta * delta, s, 2.0 * delta * sqrt_s - delta * delta)
+        w = jnp.where(s <= delta * delta, 1.0, delta / sqrt_s)
+        return rho, w
+    if loss == LOSS_CAUCHY:
+        b = delta * delta
+        rho = b * jnp.log1p(s / b)
+        w = 1.0 / (1.0 + s / b)
+        return rho, w
+    return s, jnp.ones_like(s)
+
+
+def _chol2x2_inv_sqrt(m: jnp.ndarray) -> jnp.ndarray:
+    """Upper-triangular U with U^T U = M^{-1}, for batched 2x2 SPD M.
+
+    Used for the P2D Mahalanobis whitening (n_scan_normal.cpp:288-297); the
+    symmetric form r = U e gives r^T r = e^T M^{-1} e.
+    """
+    a = m[..., 0, 0]
+    b = m[..., 0, 1]
+    c = m[..., 1, 1]
+    det = jnp.maximum(a * c - b * b, 1e-20)
+    # M^{-1} = [[c, -b], [-b, a]] / det ; Cholesky of that, upper form.
+    ia = c / det
+    ib = -b / det
+    ic = a / det
+    u22 = jnp.sqrt(jnp.maximum(ic, 1e-20))
+    u12 = ib / u22
+    u11 = jnp.sqrt(jnp.maximum(ia - u12 * u12, 1e-20))
+    z = jnp.zeros_like(u11)
+    return jnp.stack(
+        [jnp.stack([u11, u12], -1), jnp.stack([z, u22], -1)], axis=-2
+    )
+
+
+def associate(
+    src: Cells,
+    src_pose: jnp.ndarray,
+    tgt_mean_w: jnp.ndarray,
+    tgt_normal_w: jnp.ndarray,
+    tgt_cov_w: jnp.ndarray,
+    tgt_nsamples: jnp.ndarray,
+    tgt_planarity: jnp.ndarray,
+    tgt_valid: jnp.ndarray,
+    radius,
+    *,
+    weight_option: int,
+    cost: int,
+    regularization: float,
+    cov_scale: float,
+    angle_gate_cos: float,
+) -> Associations:
+    """Top-1 NN association of source cells into each target scan.
+
+    Reproduces AddScanPairCost's association pass (n_scan_normal.cpp:224-261):
+    nearest target cell within ``radius``, accepted when the rotated source
+    normal and target normal agree within 30 degrees; weights from the
+    similarity of (Nsamples, normal direction, planarity).
+    """
+    src_mean_w = se2.apply(src_pose, src.mean)  # [C, 2]
+    src_normal_w = se2.rotate(src_pose, src.normal)  # [C, 2]
+
+    def per_target(t_mean, t_normal, t_cov, t_n, t_plan, t_valid):
+        d2 = _pairwise_sqdist(src_mean_w, t_mean)  # [Cs, Ct]
+        d2 = jnp.where(t_valid[None, :], d2, jnp.inf)
+        nn = jnp.argmin(d2, axis=1)  # [Cs]
+        nn_d2 = jnp.take_along_axis(d2, nn[:, None], axis=1)[:, 0]
+        in_radius = nn_d2 < radius * radius
+
+        nn_normal = t_normal[nn]  # [Cs, 2]
+        dir_sim = jnp.maximum(jnp.sum(src_normal_w * nn_normal, axis=1), 0.0)
+        ok = in_radius & (dir_sim > angle_gate_cos) & src.valid
+
+        n_tgt = t_n[nn]
+        plan_tgt = t_plan[nn]
+        sim_n = _similarity(src.nsamples, n_tgt)
+        sim_plan = _similarity(src.planarity, plan_tgt)
+        if weight_option == 0:
+            w = jnp.ones_like(dir_sim)
+        elif weight_option == 1:
+            w = sim_n
+        elif weight_option == 2:
+            w = dir_sim
+        elif weight_option == 3:
+            w = sim_plan
+        else:  # Combined_weights (registration.cpp:73)
+            w = sim_n + dir_sim + sim_plan
+
+        nn_cov = t_cov[nn]  # [Cs, 2, 2]
+        if cost == COST_P2D:
+            m = (regularization * jnp.eye(2) + nn_cov) * cov_scale
+            sqrtinfo = _chol2x2_inv_sqrt(m)
+        else:
+            sqrtinfo = jnp.broadcast_to(jnp.eye(2, dtype=nn_cov.dtype), nn_cov.shape)
+        return t_mean[nn], nn_normal, sqrtinfo, jnp.where(ok, w, 0.0), ok
+
+    tm, tn, ti, w, m = jax.vmap(per_target)(
+        tgt_mean_w, tgt_normal_w, tgt_cov_w, tgt_nsamples, tgt_planarity, tgt_valid
+    )
+    return Associations(tgt_mean_w=tm, tgt_normal_w=tn, tgt_sqrtinfo=ti, weight=w, mask=m)
+
+
+def _residual_terms(theta: jnp.ndarray, src: Cells, assoc: Associations, cost: int):
+    """Per-association residual r, jacobian J (wrt x,y,theta) and sq-norm s."""
+    c, s = jnp.cos(theta[2]), jnp.sin(theta[2])
+    u = src.mean  # [C, 2] local
+    ux, uy = u[..., 0], u[..., 1]
+    wx = c * ux - s * uy + theta[0]
+    wy = s * ux + c * uy + theta[1]
+    # d(R u)/dtheta
+    dx = -s * ux - c * uy
+    dy = c * ux - s * uy
+
+    e = jnp.stack([wx, wy], -1)[None, :, :] - assoc.tgt_mean_w  # [T, C, 2]
+    if cost == COST_P2L:
+        n = assoc.tgt_normal_w
+        r = jnp.sum(n * e, axis=-1)[..., None]  # [T, C, 1]
+        J = jnp.stack(
+            [n[..., 0], n[..., 1], n[..., 0] * dx[None, :] + n[..., 1] * dy[None, :]],
+            axis=-1,
+        )[..., None, :]  # [T, C, 1, 3]
+    else:
+        T = assoc.tgt_mean_w.shape[0]
+        ones = jnp.ones_like(dx)
+        zeros = jnp.zeros_like(dx)
+        Jp = jnp.stack(
+            [
+                jnp.stack([ones, zeros, dx], -1),
+                jnp.stack([zeros, ones, dy], -1),
+            ],
+            axis=-2,
+        )  # [C, 2, 3]
+        Jp = jnp.broadcast_to(Jp[None], (T,) + Jp.shape)
+        if cost == COST_P2D:
+            r = jnp.einsum("tcij,tcj->tci", assoc.tgt_sqrtinfo, e)
+            J = jnp.einsum("tcij,tcjk->tcik", assoc.tgt_sqrtinfo, Jp)
+        else:  # P2P
+            r = e
+            J = Jp
+    sq = jnp.sum(r * r, axis=-1)  # [T, C]
+    return r, J, sq
+
+
+def _cost_grad_hess(theta, src, assoc, *, cost: int, loss: int, delta: float,
+                    prior=None):
+    r, J, sq = _residual_terms(theta, src, assoc, cost)
+    rho, w_irls = _rho_and_weight(sq, loss, delta)
+    m = assoc.mask
+    w_assoc = assoc.weight
+    total_cost = 0.5 * jnp.sum(jnp.where(m, w_assoc * rho, 0.0))
+    w = jnp.where(m, w_assoc * w_irls, 0.0)[..., None, None]  # [T, C, 1, 1]
+    H = jnp.sum(w * jnp.einsum("tcri,tcrj->tcij", J, J), axis=(0, 1))
+    g = jnp.sum((w[..., 0] * jnp.einsum("tcri,tcr->tci", J, r)), axis=(0, 1))
+    if prior is not None:
+        guess, sqrt_info, pw = prior
+        pr = sqrt_info @ (theta - guess) * pw
+        total_cost = total_cost + 0.5 * jnp.sum(pr * pr)
+        Jp = sqrt_info * pw
+        H = H + Jp.T @ Jp
+        g = g + Jp.T @ pr
+    return total_cost, g, H
+
+
+def _cost_only(theta, src, assoc, *, cost, loss, delta, prior=None):
+    _, _, sq = _residual_terms(theta, src, assoc, cost)
+    rho, _ = _rho_and_weight(sq, loss, delta)
+    c = 0.5 * jnp.sum(jnp.where(assoc.mask, assoc.weight * rho, 0.0))
+    if prior is not None:
+        guess, sqrt_info, pw = prior
+        pr = sqrt_info @ (theta - guess) * pw
+        c = c + 0.5 * jnp.sum(pr * pr)
+    return c
+
+
+def _lm_solve(theta0, src, assoc, *, cost, loss, delta, max_iter, init_lambda,
+              prior=None):
+    """Fixed-iteration Levenberg-Marquardt on 3 DoF with accept/reject damping.
+
+    Mirrors Ceres' trust-region LM (options_.max_num_iterations = 20,
+    n_scan_normal.cpp:9) closely enough for parity: diagonal damping, accept on
+    cost decrease, track the last relative decrease for the outer-loop guard.
+    """
+
+    def body(_, state):
+        theta, lam, cur_cost, rel_dec = state
+        _, g, H = _cost_grad_hess(theta, src, assoc, cost=cost, loss=loss,
+                                  delta=delta, prior=prior)
+        damp = lam * jnp.diag(jnp.diagonal(H)) + 1e-12 * jnp.eye(3)
+        step = -jnp.linalg.solve(H + damp, g)
+        cand = theta + step
+        new_cost = _cost_only(cand, src, assoc, cost=cost, loss=loss,
+                              delta=delta, prior=prior)
+        accept = new_cost < cur_cost
+        theta = jnp.where(accept, cand, theta)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),
+                        jnp.minimum(lam * 4.0, 1e6))
+        rel_dec = jnp.where(
+            accept, (cur_cost - new_cost) / jnp.maximum(cur_cost, 1e-20), rel_dec
+        )
+        cur_cost = jnp.where(accept, new_cost, cur_cost)
+        return theta, lam, cur_cost, rel_dec
+
+    init_cost = _cost_only(theta0, src, assoc, cost=cost, loss=loss, delta=delta,
+                           prior=prior)
+    state = (theta0, jnp.asarray(init_lambda, theta0.dtype), init_cost,
+             jnp.asarray(1.0, theta0.dtype))
+    theta, _, final_cost, rel_dec = jax.lax.fori_loop(0, max_iter, body, state)
+    return theta, final_cost, rel_dec
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_outer", "max_inner"))
+def register_window(
+    src: Cells,
+    src_pose0: jnp.ndarray,
+    tgt: Cells,  # stacked [T, C, ...]
+    tgt_poses: jnp.ndarray,  # [T, 3]
+    tgt_scan_mask: jnp.ndarray,  # [T] bool
+    cfg: RegistrationConfig,
+    guess: Optional[jnp.ndarray] = None,
+    guess_sqrt_info: Optional[jnp.ndarray] = None,
+    max_outer: Optional[int] = None,
+    max_inner: Optional[int] = None,
+) -> RegistrationResult:
+    """Register the source scan against a window of fixed target scans.
+
+    Equivalent of n_scan_normal_reg::Register in incremental mode
+    (n_scan_normal.cpp:82-185): outer re-association loop (doubled radius on
+    iteration 1) around an inner LM solve, with the reference's convergence
+    guards (revert when the score regresses after min_itr, stop on relative
+    improvement < score_tolerance).
+    """
+    cost = cost_code(cfg.cost)
+    loss = loss_code(cfg.loss)
+    delta = cfg.loss_limit
+    n_outer = max_outer or cfg.max_outer_iterations
+    n_inner = max_inner or cfg.max_inner_iterations
+    angle_gate_cos = math.cos(math.radians(cfg.angle_gate_deg))
+
+    # Targets are fixed: transform once.
+    tmw = jax.vmap(se2.apply)(tgt_poses, tgt.mean)
+    tnw = jax.vmap(se2.rotate)(tgt_poses, tgt.normal)
+    rot = se2.rotmat(tgt_poses[:, 2])  # [T, 2, 2]
+    tcw = jnp.einsum("tab,tcbd,ted->tcae", rot, tgt.cov, rot)
+    tvalid = tgt.valid & tgt_scan_mask[:, None]
+
+    prior = None
+    if guess is not None:
+        n_src = jnp.sqrt(jnp.maximum(jnp.sum(src.valid), 1.0))
+        prior = (guess, guess_sqrt_info, n_src)
+
+    def make_assoc(pose, radius):
+        return associate(
+            src, pose, tmw, tnw, tcw, tgt.nsamples, tgt.planarity, tvalid,
+            radius,
+            weight_option=cfg.weight_option, cost=cost,
+            regularization=cfg.regularization, cov_scale=cfg.cov_scale,
+            angle_gate_cos=angle_gate_cos,
+        )
+
+    def outer_body(itr, state):
+        theta, prev_theta, prev_score, active, used, n_res = state
+        radius = jnp.where(itr == 0, 2.0 * cfg.radius, cfg.radius)
+        assoc = make_assoc(theta, radius)
+        cnt = jnp.sum(assoc.mask)
+        enough = cnt > 1
+        new_theta, score, rel_dec = _lm_solve(
+            theta, src, assoc, cost=cost, loss=loss, delta=delta,
+            max_iter=n_inner, init_lambda=cfg.init_lambda, prior=prior,
+        )
+
+        # Convergence guards (n_scan_normal.cpp:134-152), active after min_itr.
+        past_min = (itr + 1) > cfg.min_outer_iterations
+        regressed = past_min & (prev_score < score)
+        rel_improvement = (prev_score - score) / jnp.maximum(prev_score, 1e-20)
+        converged = past_min & (
+            (rel_improvement < cfg.score_tolerance)
+            | (rel_dec < cfg.score_tolerance)
+        )
+
+        out_theta = jnp.where(active & enough,
+                              jnp.where(regressed, prev_theta, new_theta), theta)
+        out_score = jnp.where(active & enough,
+                              jnp.where(regressed, prev_score, score), prev_score)
+        next_active = active & enough & ~regressed & ~converged
+        used = jnp.where(active, itr + 1, used)
+        n_res = jnp.where(active & enough, cnt, n_res)
+        return (out_theta, out_theta, out_score, next_active, used, n_res)
+
+    big = jnp.asarray(jnp.finfo(src.mean.dtype).max / 4, src.mean.dtype)
+    state = (
+        src_pose0, src_pose0, big, jnp.asarray(True), jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+    )
+    theta, _, score, _, used, n_res = jax.lax.fori_loop(0, n_outer, outer_body, state)
+
+    success = n_res > 1
+    # Default covariance (n_scan_normal.cpp:171-175).
+    cov = jnp.diag(jnp.asarray([0.1 ** 2, 0.1 ** 2, 0.01 ** 2], theta.dtype))
+    return RegistrationResult(
+        pose=theta, score=score, num_residuals=n_res, iterations=used,
+        success=success, cov=cov,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def evaluate_cost(
+    src: Cells,
+    src_pose: jnp.ndarray,
+    tgt: Cells,
+    tgt_poses: jnp.ndarray,
+    tgt_scan_mask: jnp.ndarray,
+    cfg: RegistrationConfig,
+):
+    """One association + cost evaluation pass without solving.
+
+    Equivalent of n_scan_normal_reg::GetCost (n_scan_normal.cpp:186-211), used
+    by the CFEAR alignment-quality feature (AlignmentQuality.cpp:330-354).
+    Returns (total_cost, num_residuals).
+    """
+    cost = cost_code(cfg.cost)
+    loss = loss_code(cfg.loss)
+    angle_gate_cos = math.cos(math.radians(cfg.angle_gate_deg))
+
+    tmw = jax.vmap(se2.apply)(tgt_poses, tgt.mean)
+    tnw = jax.vmap(se2.rotate)(tgt_poses, tgt.normal)
+    rot = se2.rotmat(tgt_poses[:, 2])
+    tcw = jnp.einsum("tab,tcbd,ted->tcae", rot, tgt.cov, rot)
+    tvalid = tgt.valid & tgt_scan_mask[:, None]
+
+    assoc = associate(
+        src, src_pose, tmw, tnw, tcw, tgt.nsamples, tgt.planarity, tvalid,
+        cfg.radius,
+        weight_option=cfg.weight_option, cost=cost,
+        regularization=cfg.regularization, cov_scale=cfg.cov_scale,
+        angle_gate_cos=angle_gate_cos,
+    )
+    total = _cost_only(src_pose, src, assoc, cost=cost, loss=loss,
+                       delta=cfg.loss_limit)
+    return total, jnp.sum(assoc.mask)
