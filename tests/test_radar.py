@@ -54,7 +54,8 @@ def test_kstrongest_matches_reference(rng, small_cfg):
     def bin_order(xy):
         # recover integer (azimuth, range) bins for a precision-robust sort
         ang = np.mod(np.arctan2(xy[:, 1], xy[:, 0]), 2 * np.pi)
-        a_idx = np.round(ang / (2 * np.pi) * small_cfg.num_azimuths - 1).astype(int)
+        a_idx = np.round(ang / (2 * np.pi) * small_cfg.num_azimuths - 1).astype(int) \
+            % small_cfg.num_azimuths
         r_idx = np.round(np.hypot(xy[:, 0], xy[:, 1]) / small_cfg.range_res - 0.5
                          ).astype(int)
         return np.lexsort((r_idx, a_idx))
@@ -101,10 +102,9 @@ def test_peaks_are_subset_and_local_maxima(rng, small_cfg):
 
 
 def test_single_target_produces_one_peak(small_cfg):
+    # triangular intensity profile -> strictly peaked box-filter score at bin 30
     img = np.zeros((16, 64), dtype=np.uint8)
-    img[5, 30] = 200
-    img[5, 29] = 120
-    img[5, 31] = 120
+    img[5, 26:35] = [61, 71, 81, 101, 200, 99, 79, 69, 59]
     cloud, peaks = radar.kstrongest_filter(img, small_cfg)
     pm = np.asarray(peaks.mask)
     assert int(pm.sum()) == 1
