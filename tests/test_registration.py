@@ -1,0 +1,150 @@
+"""Registration GN solver tests: known-transform recovery on simulated scans
+(semantics of n_scan_normal.cpp:82-460)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tbv_slam_public_tpu.core import se2
+from tbv_slam_public_tpu.core.config import FeatureConfig, RadarConfig, RegistrationConfig
+from tbv_slam_public_tpu.core.types import PointCloud
+from tbv_slam_public_tpu.io import simulate
+from tbv_slam_public_tpu.ops import features, radar, registration
+
+
+RADAR_CFG = RadarConfig(num_azimuths=200, num_range_bins=256, range_res=0.3,
+                        k_strongest=12, min_distance=1.0, max_distance=75.0)
+FEAT_CFG = FeatureConfig(resolution=3.0, cell_capacity=256, grid_extent=80.0)
+
+
+def scan_cells(world, pose, rng=None):
+    img = simulate.render_scan(world, pose, num_azimuths=RADAR_CFG.num_azimuths,
+                               num_range_bins=RADAR_CFG.num_range_bins,
+                               range_res=RADAR_CFG.range_res, rng=rng)
+    cloud, _ = radar.kstrongest_filter(img, RADAR_CFG)
+    return features.compute_cells(cloud, FEAT_CFG)
+
+
+def stack_targets(cells_list):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *cells_list)
+
+
+@pytest.mark.parametrize("cost", ["P2L", "P2P", "P2D"])
+def test_pairwise_recovery(cost):
+    """Two noisy views of the same world; recover the relative pose."""
+    rng = np.random.default_rng(1)
+    world = simulate.make_world(rng, num_walls=50, extent=60.0)
+    pose_a = np.array([0.0, 0.0, 0.0])
+    pose_b = np.array([1.2, 0.6, 0.05])
+
+    cells_a = scan_cells(world, pose_a, np.random.default_rng(2))
+    cells_b = scan_cells(world, pose_b, np.random.default_rng(3))
+
+    cfg = RegistrationConfig(cost=cost, weight_option=4)
+    tgt = stack_targets([cells_a])
+    # start from identity: ~1.3 m / 3 deg initial error
+    res = registration.register_window(
+        cells_b, jnp.zeros(3, jnp.float32), tgt,
+        jnp.asarray(pose_a, jnp.float32)[None],
+        jnp.ones(1, bool), cfg)
+    assert bool(res.success)
+    got = np.asarray(res.pose)
+    err_t = np.hypot(got[0] - pose_b[0], got[1] - pose_b[1])
+    err_r = abs(se2.wrap_angle(jnp.asarray(got[2] - pose_b[2])))
+    # P2P aligns cell means, which shift with viewpoint sampling along walls,
+    # so it tolerates more bias than the point-to-line/distribution costs.
+    tol_t = 0.25 if cost == "P2P" else 0.15
+    assert err_t < tol_t, f"{cost}: trans err {err_t}"
+    assert float(err_r) < 0.012, f"{cost}: rot err {err_r}"
+
+
+def test_window_registration_multiple_targets():
+    rng = np.random.default_rng(4)
+    world = simulate.make_world(rng, num_walls=50, extent=60.0)
+    poses = [np.array([0.0, 0, 0]), np.array([1.0, 0.2, 0.02]),
+             np.array([2.0, 0.5, 0.05])]
+    cells = [scan_cells(world, p, np.random.default_rng(10 + i))
+             for i, p in enumerate(poses)]
+    src_pose_true = np.array([3.0, 0.9, 0.08])
+    src = scan_cells(world, src_pose_true, np.random.default_rng(20))
+
+    cfg = RegistrationConfig(cost="P2P", weight_option=4)
+    tgt = stack_targets(cells)
+    guess = jnp.asarray([2.9, 0.8, 0.06], jnp.float32)
+    res = registration.register_window(
+        src, guess, tgt, jnp.asarray(poses, jnp.float32), jnp.ones(3, bool), cfg)
+    got = np.asarray(res.pose)
+    assert np.hypot(got[0] - 3.0, got[1] - 0.9) < 0.12
+    assert abs(got[2] - 0.08) < 0.01
+
+
+def test_target_mask_excludes_scans():
+    """Masked-out target scans contribute no residuals."""
+    rng = np.random.default_rng(5)
+    world = simulate.make_world(rng, num_walls=40)
+    cells_a = scan_cells(world, np.zeros(3), np.random.default_rng(6))
+    src = scan_cells(world, np.array([0.5, 0.0, 0.0]), np.random.default_rng(7))
+    cfg = RegistrationConfig(cost="P2P")
+    tgt = stack_targets([cells_a, cells_a])
+    mask = jnp.asarray([True, False])
+    res_masked = registration.register_window(
+        src, jnp.zeros(3, jnp.float32), tgt,
+        jnp.zeros((2, 3), jnp.float32), mask, cfg)
+    res_single = registration.register_window(
+        src, jnp.zeros(3, jnp.float32), stack_targets([cells_a]),
+        jnp.zeros((1, 3), jnp.float32), jnp.ones(1, bool), cfg)
+    assert int(res_masked.num_residuals) == int(res_single.num_residuals)
+
+
+def test_no_valid_targets_fails_gracefully():
+    rng = np.random.default_rng(8)
+    world = simulate.make_world(rng, num_walls=40)
+    src = scan_cells(world, np.zeros(3), np.random.default_rng(9))
+    cfg = RegistrationConfig(cost="P2P")
+    tgt = stack_targets([src])
+    res = registration.register_window(
+        src, jnp.zeros(3, jnp.float32), tgt, jnp.zeros((1, 3), jnp.float32),
+        jnp.zeros(1, bool), cfg)
+    assert not bool(res.success)
+    np.testing.assert_allclose(np.asarray(res.pose), 0.0)
+
+
+def test_evaluate_cost_lower_when_aligned():
+    """CFEAR-quality building block: aligned pair scores lower cost/residual."""
+    rng = np.random.default_rng(11)
+    world = simulate.make_world(rng, num_walls=50)
+    a = scan_cells(world, np.zeros(3), np.random.default_rng(12))
+    b = scan_cells(world, np.array([1.0, 0.3, 0.02]), np.random.default_rng(13))
+    cfg = RegistrationConfig(cost="P2L", loss_limit=0.3, weight_option=0)
+    tgt = stack_targets([a])
+    tp = jnp.zeros((1, 3), jnp.float32)
+    ones = jnp.ones(1, bool)
+    cost_aligned, n_aligned = registration.evaluate_cost(
+        b, jnp.asarray([1.0, 0.3, 0.02], jnp.float32), tgt, tp, ones, cfg)
+    cost_off, n_off = registration.evaluate_cost(
+        b, jnp.asarray([2.5, 1.5, 0.1], jnp.float32), tgt, tp, ones, cfg)
+    assert float(cost_aligned) / max(int(n_aligned), 1) < \
+        float(cost_off) / max(int(n_off), 1)
+    assert int(n_aligned) > int(n_off)
+
+
+def test_vmap_batched_registration():
+    """Loop-candidate style: vmap over a batch of source/target pairs."""
+    rng = np.random.default_rng(14)
+    world = simulate.make_world(rng, num_walls=50)
+    offsets = [np.array([0.8, 0.2, 0.03]), np.array([-0.5, 0.4, -0.02])]
+    tgt_cells = scan_cells(world, np.zeros(3), np.random.default_rng(15))
+    srcs = [scan_cells(world, o, np.random.default_rng(16 + i))
+            for i, o in enumerate(offsets)]
+    cfg = RegistrationConfig(cost="P2L", weight_option=0)
+
+    src_b = jax.tree.map(lambda *xs: jnp.stack(xs), *srcs)
+    tgt_b = jax.tree.map(lambda x: jnp.broadcast_to(x[None, None], (2, 1) + x.shape),
+                         tgt_cells)
+    fn = jax.vmap(lambda s, t, p0: registration.register_window(
+        s, p0, t, jnp.zeros((1, 3), jnp.float32), jnp.ones(1, bool), cfg))
+    res = fn(src_b, tgt_b, jnp.zeros((2, 3), jnp.float32))
+    for i, o in enumerate(offsets):
+        got = np.asarray(res.pose[i])
+        assert np.hypot(got[0] - o[0], got[1] - o[1]) < 0.15
+        assert abs(se2.wrap_angle(jnp.asarray(got[2] - o[2]))) < 0.012
