@@ -1,0 +1,209 @@
+"""CFEAR radar odometry: keyframe fuser as one jitted frame step.
+
+Re-design of OdometryKeyframeFuser (reference odometrykeyframefuser.cpp:143-260)
+as a pure function over a fixed-shape state pytree: the per-frame pipeline
+(motion compensation -> features -> window registration -> sanity check ->
+keyframe gate -> buffer roll) compiles to a single XLA program; the host loop
+only feeds polar images and collects scalar outputs plus fused keyframes.
+
+No queues, no threads, no mutable keyframe deque: the keyframe window is a
+stacked Cells pytree rolled under jit.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..core import se2
+from ..core.config import TBVConfig
+from ..core.timing import timing
+from ..core.types import Cells, PointCloud, make_cells
+from ..ops import features, radar, registration
+
+
+@struct.dataclass
+class OdometryState:
+    kf_cells: Cells  # [S, C, ...] keyframe window, oldest..newest
+    kf_poses: jnp.ndarray  # [S, 3]
+    kf_mask: jnp.ndarray  # [S] bool
+    T_prev: jnp.ndarray  # [3] pose of the previous frame
+    Tmot: jnp.ndarray  # [3] previous frame-to-frame motion (local)
+    frame_idx: jnp.ndarray  # [] int32
+
+
+@struct.dataclass
+class OdometryOutput:
+    pose: jnp.ndarray  # [3] current frame pose (world)
+    fused: jnp.ndarray  # [] bool — became a keyframe
+    success: jnp.ndarray  # [] bool — registration succeeded
+    constraint: jnp.ndarray  # [3] relative pose last-keyframe -> current
+    cov: jnp.ndarray  # [3, 3]
+    score: jnp.ndarray  # []
+    num_residuals: jnp.ndarray  # [] int32
+    cells: Cells  # current frame features (for keyframe storage)
+    cloud: PointCloud  # filtered cloud (motion compensated)
+    peaks: PointCloud  # peaks cloud (motion compensated)
+
+
+def init_state(cfg: TBVConfig) -> OdometryState:
+    s = cfg.odometry.submap_scan_size
+    c = cfg.features.cell_capacity
+    cells1 = make_cells(c)
+    kf_cells = jax.tree.map(lambda x: jnp.stack([x] * s), cells1)
+    return OdometryState(
+        kf_cells=kf_cells,
+        kf_poses=jnp.zeros((s, 3), jnp.float32),
+        kf_mask=jnp.zeros((s,), bool),
+        T_prev=jnp.zeros(3, jnp.float32),
+        Tmot=jnp.zeros(3, jnp.float32),
+        frame_idx=jnp.asarray(0, jnp.int32),
+    )
+
+
+def _push_keyframe(state: OdometryState, cells: Cells, pose: jnp.ndarray):
+    kf_cells = jax.tree.map(
+        lambda buf, new: jnp.concatenate([buf[1:], new[None]], axis=0),
+        state.kf_cells, cells)
+    kf_poses = jnp.concatenate([state.kf_poses[1:], pose[None]], axis=0)
+    kf_mask = jnp.concatenate([state.kf_mask[1:], jnp.ones((1,), bool)], axis=0)
+    return state.replace(kf_cells=kf_cells, kf_poses=kf_poses, kf_mask=kf_mask)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def first_frame(state: OdometryState, image: jnp.ndarray, cfg: TBVConfig):
+    """Frame 0: seed the keyframe window at the origin
+    (odometrykeyframefuser.cpp:171-178)."""
+    cloud, peaks = radar.kstrongest_filter(image, cfg.radar)
+    cells = features.compute_cells(cloud, cfg.features)
+    state = _push_keyframe(state, cells, jnp.zeros(3, jnp.float32))
+    state = state.replace(frame_idx=state.frame_idx + 1)
+    out = OdometryOutput(
+        pose=jnp.zeros(3, jnp.float32), fused=jnp.asarray(True),
+        success=jnp.asarray(True), constraint=jnp.zeros(3, jnp.float32),
+        cov=jnp.eye(3, dtype=jnp.float32),
+        score=jnp.asarray(0.0, jnp.float32),
+        num_residuals=jnp.asarray(0, jnp.int32), cells=cells, cloud=cloud,
+        peaks=peaks)
+    return state, out
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def odometry_step(state: OdometryState, image: jnp.ndarray, cfg: TBVConfig):
+    """One odometry frame (odometrykeyframefuser.cpp:143-260)."""
+    ocfg = cfg.odometry
+
+    cloud, peaks = radar.kstrongest_filter(image, cfg.radar)
+    if ocfg.compensate:
+        cloud = radar.motion_compensate(cloud, state.Tmot, ocfg.radar_ccw)
+        peaks = radar.motion_compensate(peaks, state.Tmot, ocfg.radar_ccw)
+    cells = features.compute_cells(cloud, cfg.features)
+
+    Tguess = se2.compose(state.T_prev, state.Tmot) if ocfg.use_guess else state.T_prev
+
+    prior = None
+    if ocfg.soft_constraint:
+        # soft velocity prior toward the constant-velocity guess
+        # (n_scan_normal.cpp:371-375)
+        prior = jnp.diag(jnp.asarray([10.0, 10.0, 31.6], jnp.float32))
+    res = registration.register_window(
+        cells, Tguess, state.kf_cells, state.kf_poses, state.kf_mask,
+        cfg.registration,
+        guess=Tguess if prior is not None else None,
+        guess_sqrt_info=prior,
+    )
+    Tcurrent = jnp.where(res.success, res.pose, Tguess)
+
+    # Acceleration/velocity sanity check (odometrykeyframefuser.cpp:76-94)
+    Tmot_curr = se2.relative(state.T_prev, Tcurrent)
+    dt = ocfg.sensor_period
+    vel = jnp.linalg.norm(Tmot_curr[:2]) / dt
+    acc = jnp.linalg.norm(Tmot_curr[:2] - state.Tmot[:2]) / (dt * dt)
+    sane = (vel <= ocfg.vel_limit) & (acc <= ocfg.acc_limit)
+    Tcurrent = jnp.where(sane, Tcurrent, Tguess)
+    Tmot = se2.relative(state.T_prev, Tcurrent)
+
+    # Keyframe gate vs the newest keyframe (odometrykeyframefuser.cpp:62-73)
+    last_kf = state.kf_poses[-1]
+    diff = se2.relative(last_kf, Tcurrent)
+    fuse = (
+        (jnp.linalg.norm(diff[:2]) > ocfg.min_keyframe_dist)
+        | (jnp.abs(diff[2]) > jnp.deg2rad(ocfg.min_keyframe_rot_deg))
+    ) if ocfg.use_keyframe else jnp.asarray(True)
+    fuse = fuse & res.success
+
+    new_state = _push_keyframe(state, cells, Tcurrent)
+    state = jax.tree.map(
+        lambda a, b: jnp.where(
+            jnp.reshape(fuse, (1,) * a.ndim), a, b) if a.ndim else
+        jnp.where(fuse, a, b),
+        new_state, state)
+    state = state.replace(
+        T_prev=Tcurrent, Tmot=Tmot, frame_idx=state.frame_idx + 1)
+
+    # Odometry constraint in the last keyframe's frame; covariance rotated
+    # into that frame (odometrykeyframefuser.cpp:428-445).
+    rot = se2.rotmat(-last_kf[2])
+    cov = res.cov
+    cov_rot = cov.at[:2, :2].set(rot @ cov[:2, :2] @ rot.T)
+
+    out = OdometryOutput(
+        pose=Tcurrent, fused=fuse, success=res.success, constraint=diff,
+        cov=cov_rot, score=res.score, num_residuals=res.num_residuals,
+        cells=cells, cloud=cloud, peaks=peaks)
+    return state, out
+
+
+class OdometryPipeline:
+    """Host-side driver: feeds images, collects keyframes and constraints.
+
+    The analogue of the offline_odometry node (offline_odometry.cpp:57-146)
+    minus ROS: keyframe clouds/features/poses are buffered as NumPy for the
+    SLAM back-end, and frame poses are recorded for trajectory export.
+    """
+
+    def __init__(self, cfg: TBVConfig):
+        self.cfg = cfg
+        self.state = init_state(cfg)
+        self.frame_poses: List[np.ndarray] = []
+        self.frame_stamps: List[float] = []
+        # keyframe store (the simple_graph analogue)
+        self.kf_poses: List[np.ndarray] = []
+        self.kf_stamps: List[float] = []
+        self.kf_cells = []
+        self.kf_peaks = []
+        self.kf_clouds = []
+        self.kf_constraints: List[dict] = []
+        self._last_kf_idx: Optional[int] = None
+
+    def process(self, image: np.ndarray, stamp: float = 0.0) -> OdometryOutput:
+        image = jnp.asarray(image)
+        if int(self.state.frame_idx) == 0:
+            with timing.timer("odometry_first_frame"):
+                self.state, out = first_frame(self.state, image, self.cfg)
+        else:
+            with timing.timer("odometry_step"):
+                self.state, out = odometry_step(self.state, image, self.cfg)
+                out.pose.block_until_ready()
+        self.frame_poses.append(np.asarray(out.pose))
+        self.frame_stamps.append(stamp)
+        if bool(out.fused):
+            kf_idx = len(self.kf_poses)
+            self.kf_poses.append(np.asarray(out.pose))
+            self.kf_stamps.append(stamp)
+            self.kf_cells.append(jax.tree.map(np.asarray, out.cells))
+            self.kf_peaks.append(jax.tree.map(np.asarray, out.peaks))
+            self.kf_clouds.append(jax.tree.map(np.asarray, out.cloud))
+            if self._last_kf_idx is not None:
+                self.kf_constraints.append(dict(
+                    id_begin=self._last_kf_idx,
+                    id_end=kf_idx,
+                    t_be=np.asarray(out.constraint),
+                    cov=np.asarray(out.cov),
+                ))
+            self._last_kf_idx = kf_idx
+        return out

@@ -1,0 +1,78 @@
+"""End-to-end odometry test on a simulated sequence."""
+import numpy as np
+import pytest
+
+from tbv_slam_public_tpu.core import se2
+from tbv_slam_public_tpu.core.config import (FeatureConfig, OdometryConfig,
+                                             RadarConfig, RegistrationConfig,
+                                             TBVConfig)
+from tbv_slam_public_tpu.io import simulate
+from tbv_slam_public_tpu.models.odometry import OdometryPipeline
+
+
+def small_config():
+    return TBVConfig(
+        radar=RadarConfig(num_azimuths=200, num_range_bins=256, range_res=0.3,
+                          k_strongest=12, min_distance=1.0, max_distance=75.0),
+        features=FeatureConfig(resolution=3.0, cell_capacity=256,
+                               grid_extent=80.0),
+        registration=RegistrationConfig(cost="P2L", weight_option=4),
+        # the simulator renders instantaneous snapshots -> no de-skew
+        odometry=OdometryConfig(submap_scan_size=3, compensate=False),
+    )
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return simulate.make_sequence(
+        num_frames=40, seed=0, num_azimuths=200, num_range_bins=256,
+        range_res=0.3, traj_kwargs=dict(radius=40.0, step=0.7, laps=0.12))
+
+
+def test_odometry_tracks_ground_truth(seq):
+    cfg = small_config()
+    pipe = OdometryPipeline(cfg)
+    for i in range(seq.images.shape[0]):
+        pipe.process(seq.images[i], stamp=i * 0.25)
+
+    est = np.asarray(pipe.frame_poses)
+    gt = seq.gt_poses.copy()
+    # rebase gt to the first frame (odometry starts at identity)
+    import jax.numpy as jnp
+    g0 = gt[0]
+    gt_rel = np.asarray([np.asarray(se2.relative(jnp.asarray(g0), jnp.asarray(g)))
+                         for g in gt])
+
+    total_dist = np.sum(np.linalg.norm(np.diff(gt_rel[:, :2], axis=0), axis=1))
+    final_err = np.linalg.norm(est[-1, :2] - gt_rel[-1, :2])
+    # < 3% drift over the sequence
+    assert final_err < 0.03 * total_dist, (final_err, total_dist)
+    yaw_err = abs(float(se2.wrap_angle(jnp.asarray(est[-1, 2] - gt_rel[-1, 2]))))
+    assert yaw_err < 0.03
+
+    # keyframes spaced by the 1.5 m gate
+    assert len(pipe.kf_poses) >= 10
+    kf = np.asarray(pipe.kf_poses)
+    gaps = np.linalg.norm(np.diff(kf[:, :2], axis=0), axis=1)
+    assert np.all(gaps > 1.0)
+
+    # odometry constraints chain consistently to the keyframe poses
+    for c in pipe.kf_constraints:
+        a = kf[c["id_begin"]]
+        b = kf[c["id_end"]]
+        pred = np.asarray(se2.compose(jnp.asarray(a), jnp.asarray(c["t_be"])))
+        assert np.linalg.norm(pred[:2] - b[:2]) < 1e-3
+
+
+def test_keyframe_gate_blocks_stationary():
+    cfg = small_config()
+    rng = np.random.default_rng(7)
+    world = simulate.make_world(rng, num_walls=50)
+    img = simulate.render_scan(world, np.zeros(3), num_azimuths=200,
+                               num_range_bins=256, range_res=0.3, rng=rng)
+    pipe = OdometryPipeline(cfg)
+    for i in range(5):
+        out = pipe.process(img)
+    # the platform never moves -> only the seed keyframe exists
+    assert len(pipe.kf_poses) == 1
+    assert np.linalg.norm(np.asarray(out.pose)[:2]) < 0.2
