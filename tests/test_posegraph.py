@@ -1,0 +1,147 @@
+"""Pose-graph optimization tests: loop-corrected drift, both solvers."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tbv_slam_public_tpu.core import se2
+from tbv_slam_public_tpu.core.config import PGOConfig
+from tbv_slam_public_tpu.core.types import LOOP_APPEARANCE, ODOMETRY
+from tbv_slam_public_tpu.ops import posegraph
+
+
+def _simulated_loop_graph(rng, n=40, drift=0.03, theta_drift=0.004):
+    """A square-ish loop: GT relative motions, drifted odometry, one loop edge."""
+    step = 2.0
+    gt = [np.zeros(3)]
+    rels = []
+    for i in range(1, n):
+        turn = np.pi / 2 if i % (n // 4) == 0 else 0.0
+        rel = np.array([step, 0.0, turn])
+        rels.append(rel)
+        gt.append(np.asarray(se2.compose(jnp.asarray(gt[-1]), jnp.asarray(rel))))
+    gt = np.stack(gt)
+
+    # odometry: noisy/drifted integration of the same relative motions
+    poses = [np.zeros(3)]
+    for rel in rels:
+        noisy = rel + np.array([drift, 0.3 * drift, theta_drift])
+        poses.append(np.asarray(se2.compose(jnp.asarray(poses[-1]),
+                                            jnp.asarray(noisy))))
+    poses = np.stack(poses)
+    return gt, poses, rels
+
+
+def _build_edges(rels, gt, n, cfg, loop_pairs):
+    e_total = len(rels) + len(loop_pairs)
+    cap = 64
+    idx = np.zeros((cap, 2), np.int32)
+    meas = np.zeros((cap, 3), np.float32)
+    etype = np.zeros((cap,), np.int32)
+    mask = np.zeros((cap,), bool)
+    for i, rel in enumerate(rels):
+        idx[i] = (i, i + 1)
+        meas[i] = rel
+        etype[i] = ODOMETRY
+        mask[i] = True
+    for k, (a, b) in enumerate(loop_pairs):
+        j = len(rels) + k
+        idx[j] = (a, b)
+        meas[j] = np.asarray(se2.relative(jnp.asarray(gt[a]), jnp.asarray(gt[b])))
+        etype[j] = LOOP_APPEARANCE
+        mask[j] = True
+    sqrt_info = np.asarray(posegraph.default_sqrt_info(jnp.asarray(etype), cfg))
+    assert e_total <= cap
+    return posegraph.make_edges(idx, meas, sqrt_info, etype, mask)
+
+
+@pytest.mark.parametrize("solver", ["cholesky", "cg"])
+def test_loop_closure_reduces_error(rng, solver):
+    cfg = PGOConfig()
+    gt, poses, rels = _simulated_loop_graph(rng)
+    n = len(poses)
+    edges = _build_edges(rels, gt, n, cfg, loop_pairs=[(0, n - 1), (1, n - 2)])
+    node_mask = np.ones((n,), bool)
+
+    res = posegraph.optimize(jnp.asarray(poses, jnp.float32),
+                             jnp.asarray(node_mask), edges, cfg, solver=solver)
+    opt = np.asarray(res.poses)
+
+    err0 = np.linalg.norm(poses[:, :2] - gt[:, :2], axis=1).mean()
+    err1 = np.linalg.norm(opt[:, :2] - gt[:, :2], axis=1).mean()
+    assert float(res.cost) < float(res.cost0)
+    assert err1 < 0.5 * err0, (err0, err1)
+
+
+def test_odometry_only_graph_is_stationary(rng):
+    """With only odometry edges consistent with the poses, cost ~ 0 and the
+    solution should not move."""
+    cfg = PGOConfig()
+    gt, _, rels = _simulated_loop_graph(rng, drift=0.0, theta_drift=0.0)
+    n = len(gt)
+    edges = _build_edges(rels, gt, n, cfg, loop_pairs=[])
+    res = posegraph.optimize(jnp.asarray(gt, jnp.float32),
+                             jnp.ones((n,), bool), edges, cfg)
+    assert float(res.cost0) < 1e-3
+    np.testing.assert_allclose(np.asarray(res.poses), gt, atol=1e-3)
+
+
+def test_padded_nodes_and_edges_ignored(rng):
+    cfg = PGOConfig()
+    gt, poses, rels = _simulated_loop_graph(rng, n=20)
+    n = len(poses)
+    cap_n = 32
+    poses_pad = np.zeros((cap_n, 3), np.float32)
+    poses_pad[:n] = poses
+    node_mask = np.zeros((cap_n,), bool)
+    node_mask[:n] = True
+    edges = _build_edges(rels, gt, n, cfg, loop_pairs=[(0, n - 1)])
+
+    res = posegraph.optimize(jnp.asarray(poses_pad), jnp.asarray(node_mask),
+                             edges, cfg)
+    opt = np.asarray(res.poses)
+    # padded slots untouched (gauge-masked to identity rows)
+    np.testing.assert_allclose(opt[n:], 0.0, atol=1e-6)
+    err0 = np.linalg.norm(poses[:, :2] - gt[:, :2], axis=1).mean()
+    err1 = np.linalg.norm(opt[:n, :2] - gt[:n, :2], axis=1).mean()
+    assert err1 < err0
+
+
+def test_cauchy_downweights_bad_loop(rng):
+    """A wildly wrong loop edge must not destroy the solution (Cauchy loss)."""
+    cfg = PGOConfig()
+    gt, poses, rels = _simulated_loop_graph(rng)
+    n = len(poses)
+    # good loop + catastrophically wrong loop
+    edges = _build_edges(rels, gt, n, cfg, loop_pairs=[(0, n - 1)])
+    bad_slot = len(rels) + 1
+    idx = np.asarray(edges.idx).copy()
+    meas = np.asarray(edges.meas).copy()
+    etype = np.asarray(edges.etype).copy()
+    mask = np.asarray(edges.mask).copy()
+    idx[bad_slot] = (2, n - 3)
+    meas[bad_slot] = (250.0, -90.0, 2.0)
+    etype[bad_slot] = LOOP_APPEARANCE
+    mask[bad_slot] = True
+    sqrt_info = np.asarray(posegraph.default_sqrt_info(jnp.asarray(etype), cfg))
+    edges = posegraph.make_edges(idx, meas, sqrt_info, etype, mask)
+
+    res = posegraph.optimize(jnp.asarray(poses, jnp.float32),
+                             jnp.ones((n,), bool), edges, cfg)
+    opt = np.asarray(res.poses)
+    err0 = np.linalg.norm(poses[:, :2] - gt[:, :2], axis=1).mean()
+    err1 = np.linalg.norm(opt[:, :2] - gt[:, :2], axis=1).mean()
+    assert err1 < err0  # still an improvement despite the outlier
+
+
+def test_solvers_agree(rng):
+    cfg = PGOConfig()
+    gt, poses, rels = _simulated_loop_graph(rng)
+    n = len(poses)
+    edges = _build_edges(rels, gt, n, cfg, loop_pairs=[(0, n - 1), (3, n - 4)])
+    a = posegraph.optimize(jnp.asarray(poses, jnp.float32),
+                           jnp.ones((n,), bool), edges, cfg, solver="cholesky")
+    b = posegraph.optimize(jnp.asarray(poses, jnp.float32),
+                           jnp.ones((n,), bool), edges, cfg, solver="cg")
+    assert abs(float(a.cost) - float(b.cost)) < 1e-2 * max(float(a.cost), 1.0)
+    np.testing.assert_allclose(np.asarray(a.poses)[:, :2],
+                               np.asarray(b.poses)[:, :2], atol=0.05)
