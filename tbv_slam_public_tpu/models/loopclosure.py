@@ -1,0 +1,413 @@
+"""Loop closure: retrieval, batched candidate registration, verification.
+
+TPU-native re-design of loopclosure/ScanContextClosure (reference
+tbv_slam/src/tbv_slam/loopclosure.cpp:593-745):
+
+- per-keyframe context = RSC descriptor of the aggregated +-N_aggregate
+  local map (ScansToLocalMap, loopclosure.cpp:553-569) plus 4 lateral-shift
+  augmentations (RadarScancontext.cpp:156-182), built as one batched
+  scatter-add,
+- retrieval = odometry-coupled ring-key NN + batched all-shift ScanContext
+  distance (ops.scancontext.retrieve), merged across augmentations and
+  deduplicated by database index,
+- candidate registration: the current keyframe's CFEAR features are
+  registered P2L against each candidate's features placed at the guess
+  Tsrcguess = Taug^-1 * R(yaw_sc) (loopclosure.cpp:692-696), 4 association
+  x 10 solver iterations (SetParameters(4,10), loopclosure.cpp:58) — a
+  single vmapped solve over the candidate batch,
+- verification: CorAl + CFEAR alignment features at the registered relative
+  pose (VerifyByAlignment, loopclosure.cpp:759-775), odometry-consistency
+  similarity (VerifyByOdometry, loopclosure.cpp:776-806) and the logistic
+  VerificationModel over [odom-bounds, sc-sim, alignment_quality]
+  (loopclosure.cpp:220-238),
+- acceptance: best (or all) candidates with p > model_threshold
+  (ApplyConstratins, loopclosure.cpp:261-297).
+
+The per-keyframe work is two jitted programs (detect; register+verify) with
+static candidate-batch shapes; the database is a functionally-updated pytree
+padded to chunked capacities.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..core import se2
+from ..core.config import TBVConfig
+from ..core.timing import timing
+from ..core.types import Cells, PointCloud
+from ..ops import logistic, scancontext
+from ..ops import registration as reg_op
+from . import verification as verif
+
+
+@struct.dataclass
+class LoopDB:
+    """Descriptor database + odometry poses (padded to a static capacity)."""
+
+    desc: jnp.ndarray  # [N, R, S]
+    ring: jnp.ndarray  # [N, R]
+    odom_pose: jnp.ndarray  # [N, 3] odometry (un-optimized) keyframe poses
+    mask: jnp.ndarray  # [N] bool
+
+
+def make_db(capacity: int, cfg: TBVConfig) -> LoopDB:
+    sc = cfg.scancontext
+    return LoopDB(
+        desc=jnp.zeros((capacity, sc.num_ring, sc.num_sector), jnp.float32),
+        ring=jnp.zeros((capacity, sc.num_ring), jnp.float32),
+        odom_pose=jnp.zeros((capacity, 3), jnp.float32),
+        mask=jnp.zeros((capacity,), bool),
+    )
+
+
+def grow_db(db: LoopDB, new_capacity: int) -> LoopDB:
+    pad = new_capacity - db.mask.shape[0]
+    return jax.tree.map(
+        lambda x: jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0), db)
+
+
+@jax.jit
+def db_insert(db: LoopDB, slot: jnp.ndarray, desc: jnp.ndarray,
+              ring: jnp.ndarray, odom_pose: jnp.ndarray) -> LoopDB:
+    return LoopDB(
+        desc=db.desc.at[slot].set(desc),
+        ring=db.ring.at[slot].set(ring),
+        odom_pose=db.odom_pose.at[slot].set(odom_pose),
+        mask=db.mask.at[slot].set(True),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def context_descriptors(local_map: PointCloud, cfg: TBVConfig):
+    """Descriptors of the aggregated local map + its lateral augmentations.
+
+    Returns (descs [A, R, S], rings [A, R], taug [A, 3]); row 0 is the
+    unshifted query (Taug = identity).  Augmented copies translate the CLOUD
+    by (0, offset) before binning (MakeAugmentedScanContexts,
+    RadarScancontext.cpp:156-182).
+    """
+    sc = cfg.scancontext
+    offsets = [0.0] + (list(sc.augment_offsets) if sc.augment_sc else [])
+    taug = jnp.asarray([[0.0, o, 0.0] for o in offsets], jnp.float32)
+
+    def one(t):
+        shifted = local_map.replace(xy=local_map.xy + t[None, :2])
+        d = scancontext.make_descriptor(shifted, sc)
+        return d, scancontext.ring_key(d)
+
+    descs, rings = jax.vmap(one)(taug)
+    return descs, rings, taug
+
+
+class DetectResult(struct.PyTreeNode):
+    index: jnp.ndarray  # [K] db index of candidate ("to")
+    aug: jnp.ndarray  # [K] which augmentation produced it
+    dist: jnp.ndarray  # [K] combined score (sc + odom)
+    dist_sc: jnp.ndarray  # [K]
+    dist_odom: jnp.ndarray  # [K]
+    yaw: jnp.ndarray  # [K] SC yaw alignment (radians)
+    valid: jnp.ndarray  # [K] bool
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def detect(db: LoopDB, descs: jnp.ndarray, rings: jnp.ndarray,
+           cur_slot: jnp.ndarray, cfg: TBVConfig) -> DetectResult:
+    """Candidate retrieval for the keyframe at ``cur_slot``.
+
+    detectLoopClosureID (RadarScancontext.cpp:286-345): odometry similarity
+    over history, dynamic recent-exclusion window, per-augmentation ring-key
+    NN retrieval + SC distance, merged and deduplicated, best
+    ``n_candidates`` kept by combined score.
+    """
+    sc = cfg.scancontext
+    n = db.mask.shape[0]
+    idxs = jnp.arange(n)
+    hist_mask = db.mask & (idxs <= cur_slot)
+
+    odom_sim = scancontext.odometry_similarity(
+        db.odom_pose[:, :2], hist_mask, sc.odom_sigma_error)
+    n_excl = scancontext.num_exclude_recent(
+        db.odom_pose[:, :2], hist_mask, sc.distance_exclude_recent)
+    search_mask = hist_mask & (idxs < cur_slot - n_excl + 1) & (idxs < cur_slot)
+
+    def one_aug(qdesc, qkey):
+        return scancontext.retrieve(
+            qdesc, qkey, db.desc, db.ring, search_mask, odom_sim,
+            num_candidates=sc.num_candidates_from_tree,
+            search_ratio=sc.search_ratio,
+            odometry_coupled=sc.odometry_coupled_closure,
+        )
+
+    r = jax.vmap(one_aug)(descs, rings)  # leaves [A, K0]
+    a, k0 = r.dist.shape
+    aug_ids = jnp.broadcast_to(jnp.arange(a)[:, None], (a, k0))
+    flat = jax.tree.map(lambda x: x.reshape(a * k0), r)
+    aug_flat = aug_ids.reshape(a * k0)
+
+    # Sort by combined score ascending; drop duplicate db indices (keep best).
+    score = jnp.where(flat.valid, flat.dist, jnp.inf)
+    order = jnp.argsort(score)
+    s_idx = flat.index[order]
+    s_score = score[order]
+    dup = jnp.triu(s_idx[None, :] == s_idx[:, None], k=1)  # [i, j>i] equal
+    is_dup = jnp.any(dup, axis=0)
+    s_score = jnp.where(is_dup, jnp.inf, s_score)
+
+    reorder = jnp.argsort(s_score)[: sc.n_candidates]
+    pick = order[reorder]
+    # No distance threshold here: ALL top-N candidates go to verification
+    # (detectLoopClosureID returns every retained candidate,
+    # RadarScancontext.cpp:326-345).
+    kdist = jnp.where(jnp.isfinite(s_score[reorder]), flat.dist[pick], jnp.inf)
+    valid = jnp.isfinite(kdist)
+    return DetectResult(
+        index=flat.index[pick], aug=aug_flat[pick], dist=kdist,
+        dist_sc=flat.dist_sc[pick], dist_odom=flat.dist_odom[pick],
+        yaw=scancontext.shift_to_yaw(flat.shift[pick], sc.num_sector),
+        valid=valid,
+    )
+
+
+class CandidateResult(struct.PyTreeNode):
+    t_be: jnp.ndarray  # [K, 3] registered relative pose from -> to
+    prob: jnp.ndarray  # [K] verification probability
+    sc_sim: jnp.ndarray  # [K]
+    odom_bounds: jnp.ndarray  # [K]
+    align_quality: jnp.ndarray  # [K]
+    reg_score: jnp.ndarray  # [K]
+    reg_ok: jnp.ndarray  # [K] bool
+    valid: jnp.ndarray  # [K] bool
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def register_and_verify(
+    q_cells: Cells, q_peaks: PointCloud,
+    c_cells: Cells, c_peaks: PointCloud,  # stacked [K, ...]
+    taug: jnp.ndarray,  # [K, 3] augmentation offset of the producing query
+    yaw: jnp.ndarray,  # [K] SC yaw
+    sc_sim: jnp.ndarray,  # [K] combined SC similarity (min_dist)
+    odom_bounds: jnp.ndarray,  # [K] odometry-consistency similarity
+    cand_valid: jnp.ndarray,  # [K] bool
+    align_model: logistic.LogisticModel,
+    loop_model: logistic.LogisticModel,
+    cfg: TBVConfig,
+) -> CandidateResult:
+    """Batched loop-candidate registration + verification.
+
+    Frame convention (RegisterLoopCandidate, loopclosure.cpp:320-364, worked
+    in the from-centered frame): the current keyframe ("from") starts at the
+    identity; the candidate's features are fixed at Tsrcguess =
+    Taug^-1 * R(yaw).  After the solve of the movable "from" pose Trev, the
+    loop constraint is t_be = Trev^-1 * Tsrcguess.
+    """
+    lc = cfg.loopclosure
+    rcfg = cfg.registration
+    loop_rcfg = rcfg.__class__(
+        cost="P2L", loss=rcfg.loss, loss_limit=rcfg.loss_limit,
+        weight_option=rcfg.weight_option, radius=rcfg.radius,
+        max_outer_iterations=lc.registration_max_outer,
+        min_outer_iterations=1,
+        max_inner_iterations=lc.registration_max_inner,
+        score_tolerance=rcfg.score_tolerance,
+        angle_gate_deg=rcfg.angle_gate_deg,
+        regularization=rcfg.regularization, cov_scale=rcfg.cov_scale,
+        init_lambda=rcfg.init_lambda,
+    )
+
+    rot = jnp.stack([jnp.zeros_like(yaw), jnp.zeros_like(yaw), yaw], -1)
+    tsrcguess = se2.compose(se2.inverse(taug), rot)  # [K, 3]
+
+    def solve_one(cand_cells, guess):
+        tgt = jax.tree.map(lambda x: x[None], cand_cells)
+        res = reg_op.register_window(
+            q_cells, jnp.zeros(3, jnp.float32), tgt, guess[None],
+            jnp.ones(1, bool), loop_rcfg)
+        t_be = se2.relative(res.pose, guess)
+        return t_be, res.score, res.success
+
+    t_be, reg_score, reg_ok = jax.vmap(solve_one)(c_cells, tsrcguess)
+
+    def verify_one(cand_peaks, cand_cells, rel):
+        x6 = verif.alignment_features(
+            q_peaks, q_cells, jnp.zeros(3, jnp.float32),
+            cand_peaks, cand_cells, rel, cfg.verification)
+        return logistic.predict_linear(align_model, x6)
+
+    align_q = jax.vmap(verify_one)(c_peaks, c_cells, t_be)
+
+    x = jnp.stack([odom_bounds, sc_sim, align_q], axis=-1)
+    prob = logistic.predict_proba(loop_model, x)
+    ok = cand_valid & reg_ok
+    return CandidateResult(
+        t_be=t_be, prob=jnp.where(ok, prob, 0.0), sc_sim=sc_sim,
+        odom_bounds=odom_bounds, align_quality=align_q, reg_score=reg_score,
+        reg_ok=reg_ok, valid=ok,
+    )
+
+
+@dataclass
+class LoopConstraint:
+    id_from: int
+    id_to: int
+    t_be: np.ndarray  # [3]
+    prob: float
+    quality: Dict[str, float] = field(default_factory=dict)
+
+
+class LoopCloser:
+    """Host-side loop-closure driver (the ScanContextClosure strategy).
+
+    Keeps per-keyframe peaks/cells on the host, the descriptor DB on device,
+    and emits accepted LoopConstraint records.  ``candidate_log`` records
+    every evaluated candidate (the loop.csv analogue, EvaluationManager
+    parity).
+    """
+
+    def __init__(self, cfg: TBVConfig,
+                 align_model: Optional[logistic.LogisticModel] = None,
+                 loop_model: Optional[logistic.LogisticModel] = None):
+        self.cfg = cfg
+        self.align_model = align_model or logistic.from_values(
+            cfg.verification.alignment_coefs[0],
+            cfg.verification.alignment_coefs[1:])
+        self.loop_model = loop_model or verif.default_loop_model(
+            cfg.verification)
+        self.db = make_db(cfg.scancontext.db_chunk, cfg)
+        self.kf_peaks: List = []
+        self.kf_cells: List = []
+        self.kf_odom: List[np.ndarray] = []
+        self.constraints: List[LoopConstraint] = []
+        self.candidate_log: List[dict] = []
+        self._processed = 0
+
+    # -- keyframe ingestion ------------------------------------------------
+    def add_keyframe(self, peaks, cells, odom_pose: np.ndarray) -> None:
+        self.kf_peaks.append(peaks)
+        self.kf_cells.append(cells)
+        self.kf_odom.append(np.asarray(odom_pose, np.float32))
+
+    def _aggregate_local_map(self, q: int) -> PointCloud:
+        """ScansToLocalMap (loopclosure.cpp:553-569): peaks of keyframes
+        q-n..q+n expressed in the frame of keyframe q, padded to a static
+        capacity."""
+        n_agg = self.cfg.loopclosure.n_aggregate
+        cap = self.cfg.loopclosure.local_map_capacity
+        center = self.kf_odom[q]
+        xs, ins, ms = [], [], []
+        lo = max(0, q - n_agg)
+        hi = min(len(self.kf_odom) - 1, q + n_agg)
+        for i in range(lo, hi + 1):
+            pc = self.kf_peaks[i]
+            rel = np.asarray(se2.relative(jnp.asarray(center),
+                                          jnp.asarray(self.kf_odom[i])))
+            xy = np.asarray(se2.apply(jnp.asarray(rel), jnp.asarray(pc.xy)))
+            xs.append(xy)
+            ins.append(np.asarray(pc.intensity))
+            ms.append(np.asarray(pc.mask))
+        xy = np.concatenate(xs)[:cap]
+        inten = np.concatenate(ins)[:cap]
+        mask = np.concatenate(ms)[:cap]
+        pad = cap - xy.shape[0]
+        if pad > 0:
+            xy = np.pad(xy, ((0, pad), (0, 0)))
+            inten = np.pad(inten, (0, pad))
+            mask = np.pad(mask, (0, pad))
+        return PointCloud(xy=jnp.asarray(xy, jnp.float32),
+                          intensity=jnp.asarray(inten, jnp.float32),
+                          mask=jnp.asarray(mask))
+
+    def _ensure_capacity(self, n: int) -> None:
+        cap = self.db.mask.shape[0]
+        if n > cap:
+            chunk = self.cfg.scancontext.db_chunk
+            new_cap = ((n + chunk - 1) // chunk) * chunk
+            self.db = grow_db(self.db, new_cap)
+
+    # -- per-keyframe processing ------------------------------------------
+    def process_pending(self) -> List[LoopConstraint]:
+        """Process all keyframes whose +-n_aggregate neighborhood is complete
+        (the offline path runs this to exhaustion, tbv_slam_offline.cpp:269)."""
+        out: List[LoopConstraint] = []
+        n_agg = self.cfg.loopclosure.n_aggregate
+        while self._processed + n_agg < len(self.kf_odom):
+            out.extend(self._process_one(self._processed))
+            self._processed += 1
+        return out
+
+    def finish(self) -> List[LoopConstraint]:
+        """Process the trailing keyframes (incomplete neighborhoods)."""
+        out: List[LoopConstraint] = []
+        while self._processed < len(self.kf_odom):
+            out.extend(self._process_one(self._processed))
+            self._processed += 1
+        return out
+
+    def _process_one(self, q: int) -> List[LoopConstraint]:
+        cfg = self.cfg
+        self._ensure_capacity(q + 1)
+        with timing.timer("loop_descriptor"):
+            local_map = self._aggregate_local_map(q)
+            descs, rings, taug = context_descriptors(local_map, cfg)
+            self.db = db_insert(self.db, jnp.asarray(q), descs[0], rings[0],
+                                jnp.asarray(self.kf_odom[q]))
+        with timing.timer("loop_detect"):
+            det = detect(self.db, descs, rings, jnp.asarray(q), cfg)
+            det = jax.tree.map(np.asarray, det)
+        if not bool(det.valid.any()):
+            return []
+
+        k = cfg.scancontext.n_candidates
+        with timing.timer("loop_register_verify"):
+            cand_idx = np.where(det.valid, det.index, 0)
+            c_cells = jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *[self.kf_cells[int(i)] for i in cand_idx])
+            c_peaks = jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *[self.kf_peaks[int(i)] for i in cand_idx])
+            res = register_and_verify(
+                self.kf_cells[q], self.kf_peaks[q], c_cells, c_peaks,
+                jnp.asarray(taug)[det.aug], jnp.asarray(det.yaw),
+                jnp.asarray(det.dist_sc + det.dist_odom, jnp.float32),
+                jnp.asarray(det.dist_odom, jnp.float32),
+                jnp.asarray(det.valid),
+                self.align_model, self.loop_model, cfg)
+            res = jax.tree.map(np.asarray, res)
+
+        for i in range(k):
+            if not bool(det.valid[i]):
+                continue
+            self.candidate_log.append(dict(
+                id_from=q, id_to=int(det.index[i]),
+                prob=float(res.prob[i]), sc_sim=float(res.sc_sim[i]),
+                odom_bounds=float(res.odom_bounds[i]),
+                alignment_quality=float(res.align_quality[i]),
+                t_be=res.t_be[i].tolist(), guess_nr=i,
+                reg_ok=bool(res.reg_ok[i]),
+            ))
+
+        # ApplyConstratins: best (or all) above threshold.
+        order = np.argsort(-res.prob)
+        selected = order if cfg.verification.all_candidates else order[:1]
+        accepted = []
+        for i in selected:
+            if bool(res.valid[i]) and \
+                    float(res.prob[i]) > cfg.verification.model_threshold:
+                c = LoopConstraint(
+                    id_from=q, id_to=int(det.index[i]),
+                    t_be=np.asarray(res.t_be[i]), prob=float(res.prob[i]),
+                    quality=dict(
+                        sc_sim=float(res.sc_sim[i]),
+                        odom_bounds=float(res.odom_bounds[i]),
+                        alignment_quality=float(res.align_quality[i])))
+                self.constraints.append(c)
+                accepted.append(c)
+        return accepted

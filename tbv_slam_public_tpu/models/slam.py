@@ -1,0 +1,207 @@
+"""TBV SLAM facade: odometry + loop closure + pose-graph optimization.
+
+Re-design of TBVSLAM / PoseGraph (reference tbv_slam/src/tbv_slam/
+{tbv_slam.cpp:9-48, posegraph.cpp}) without threads or queues: a
+deterministic schedule — per-frame odometry, loop-closure waves over
+completed keyframes, and explicit PGO epochs — replacing the reference's
+AddNodeThread/AddConstraintThread/OptimizerThread machinery (the offline,
+deterministic path is the parity target; README.md:106-108 documents the
+online mode's nondeterminism).
+
+The graph is SoA: keyframe poses [N, 3], odometry/loop constraints as padded
+GraphEdges consumed by ops.posegraph.optimize.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import se2
+from ..core.config import TBVConfig
+from ..core.timing import timing
+from ..core.types import LOOP_APPEARANCE, ODOMETRY
+from ..eval import trajectory as traj_eval
+from ..ops import posegraph
+from .loopclosure import LoopCloser, LoopConstraint
+from .odometry import OdometryOutput, OdometryPipeline
+
+
+class PoseGraph:
+    """Host-side SoA pose graph over keyframes (reference posegraph.h:57-225).
+
+    Keeps both the odometry-chained world poses and the optimized estimate;
+    edges are padded in chunks so the jitted optimizer compiles per capacity
+    bucket.
+    """
+
+    def __init__(self, cfg: TBVConfig):
+        self.cfg = cfg
+        self.poses: List[np.ndarray] = []  # current (optimized) estimate
+        self.stamps: List[float] = []
+        self.gt: List[Optional[np.ndarray]] = []
+        self.edges: List[dict] = []
+
+    def add_node(self, pose: np.ndarray, stamp: float = 0.0,
+                 gt: Optional[np.ndarray] = None) -> int:
+        """Append a keyframe; rebases on the previous optimized pose through
+        the newest odometry constraint (AddNode, posegraph.cpp:52-73) when one
+        is attached via add_odometry_constraint afterwards."""
+        self.poses.append(np.asarray(pose, np.float32))
+        self.stamps.append(stamp)
+        self.gt.append(None if gt is None else np.asarray(gt, np.float32))
+        return len(self.poses) - 1
+
+    def add_odometry_constraint(self, id_begin: int, id_end: int,
+                                t_be: np.ndarray) -> None:
+        self.edges.append(dict(idx=(id_begin, id_end),
+                               meas=np.asarray(t_be, np.float32),
+                               etype=ODOMETRY))
+        # rebase the new node on the optimized begin pose (posegraph.cpp:52-73)
+        self.poses[id_end] = np.asarray(
+            se2.compose(jnp.asarray(self.poses[id_begin]),
+                        jnp.asarray(t_be, jnp.float32)), np.float32)
+
+    def add_loop_constraint(self, c: LoopConstraint) -> None:
+        self.edges.append(dict(idx=(c.id_from, c.id_to),
+                               meas=np.asarray(c.t_be, np.float32),
+                               etype=LOOP_APPEARANCE))
+
+    @property
+    def num_nodes(self) -> int:
+        return len(self.poses)
+
+    def num_loops(self) -> int:
+        return sum(1 for e in self.edges if e["etype"] == LOOP_APPEARANCE)
+
+    def traveled_distance(self) -> float:
+        """Sum of odometry constraint norms (posegraph.cpp:151-160)."""
+        return float(sum(np.linalg.norm(e["meas"][:2]) for e in self.edges
+                         if e["etype"] == ODOMETRY))
+
+    def _padded(self, chunk: int):
+        n = len(self.poses)
+        e = len(self.edges)
+        ncap = max(((n + chunk - 1) // chunk) * chunk, chunk)
+        ecap = max(((e + chunk - 1) // chunk) * chunk, chunk)
+        poses = np.zeros((ncap, 3), np.float32)
+        poses[:n] = np.stack(self.poses) if n else 0.0
+        node_mask = np.zeros((ncap,), bool)
+        node_mask[:n] = True
+        idx = np.zeros((ecap, 2), np.int32)
+        meas = np.zeros((ecap, 3), np.float32)
+        etype = np.zeros((ecap,), np.int32)
+        mask = np.zeros((ecap,), bool)
+        for i, ed in enumerate(self.edges):
+            idx[i] = ed["idx"]
+            meas[i] = ed["meas"]
+            etype[i] = ed["etype"]
+            mask[i] = True
+        sqrt_info = np.asarray(posegraph.default_sqrt_info(
+            jnp.asarray(etype), self.cfg.pgo))
+        edges = posegraph.make_edges(idx, meas, sqrt_info, etype, mask)
+        return poses, node_mask, edges
+
+    def optimize(self, solver: str = "cholesky") -> posegraph.PGOResult:
+        """ForceOptimize (posegraph.cpp:112-130) — one full robust LM solve."""
+        chunk = self.cfg.pgo.edge_capacity_chunk
+        poses, node_mask, edges = self._padded(chunk)
+        with timing.timer("pose_graph_optimization"):
+            res = posegraph.optimize(jnp.asarray(poses), jnp.asarray(node_mask),
+                                     edges, self.cfg.pgo, solver=solver)
+            res.poses.block_until_ready()
+        out = np.asarray(res.poses)
+        for i in range(len(self.poses)):
+            self.poses[i] = out[i]
+        return res
+
+    def poses_array(self) -> np.ndarray:
+        return np.stack(self.poses) if self.poses else np.zeros((0, 3))
+
+    def gt_array(self) -> Optional[np.ndarray]:
+        if any(g is None for g in self.gt) or not self.gt:
+            return None
+        return np.stack(self.gt)
+
+    def align_to_gt(self) -> Optional[Dict[str, float]]:
+        """SVD best-fit to GT + ATE metrics (Align, posegraph.cpp:235-263)."""
+        gt = self.gt_array()
+        if gt is None:
+            return None
+        est = self.poses_array()
+        return dict(
+            ate_rmse=traj_eval.ate_rmse(est, gt),
+            ate_mean=traj_eval.ate_mean(est, gt),
+        )
+
+
+@dataclass
+class SLAMSummary:
+    num_frames: int
+    num_keyframes: int
+    num_loops: int
+    traveled_distance: float
+    pgo_cost0: float
+    pgo_cost: float
+    metrics: Optional[Dict[str, float]]
+
+
+class TBVSLAM:
+    """Full pipeline on one sequence (the tbv_slam_offline analogue,
+    tbv_slam_offline.cpp:215-356 — deterministic single-stream schedule)."""
+
+    def __init__(self, cfg: TBVConfig):
+        self.cfg = cfg
+        self.odometry = OdometryPipeline(cfg)
+        self.loops = LoopCloser(cfg)
+        self.graph = PoseGraph(cfg)
+        self._frames = 0
+        self._kf_to_node: List[int] = []
+
+    def process_frame(self, image: np.ndarray, stamp: float = 0.0,
+                      gt_pose: Optional[np.ndarray] = None,
+                      search_loops: bool = True) -> OdometryOutput:
+        """Odometry step; on keyframe fuse, feed the graph and the loop
+        closer (processing any keyframes whose context is complete)."""
+        self._frames += 1
+        n_kf_before = len(self.odometry.kf_poses)
+        out = self.odometry.process(image, stamp)
+        if len(self.odometry.kf_poses) > n_kf_before:
+            kf_idx = len(self.odometry.kf_poses) - 1
+            pose = self.odometry.kf_poses[kf_idx]
+            node = self.graph.add_node(pose, stamp, gt=gt_pose)
+            self._kf_to_node.append(node)
+            if self.odometry.kf_constraints:
+                c = self.odometry.kf_constraints[-1]
+                if c["id_end"] == kf_idx:
+                    self.graph.add_odometry_constraint(
+                        c["id_begin"], c["id_end"], c["t_be"])
+            self.loops.add_keyframe(self.odometry.kf_peaks[kf_idx],
+                                    self.odometry.kf_cells[kf_idx], pose)
+            if search_loops:
+                for lc in self.loops.process_pending():
+                    self.graph.add_loop_constraint(lc)
+        return out
+
+    def finish(self, optimize: bool = True,
+               solver: str = "cholesky") -> SLAMSummary:
+        """Drain pending loop closures, run the final optimization and the
+        GT alignment (RunBasicEvaluation + Align, tbv_slam_offline.cpp:269)."""
+        for lc in self.loops.finish():
+            self.graph.add_loop_constraint(lc)
+        if optimize and self.graph.num_nodes > 1:
+            res = self.graph.optimize(solver=solver)
+            cost0, cost = float(res.cost0), float(res.cost)
+        else:
+            cost0 = cost = 0.0
+        return SLAMSummary(
+            num_frames=self._frames,
+            num_keyframes=self.graph.num_nodes,
+            num_loops=self.graph.num_loops(),
+            traveled_distance=self.graph.traveled_distance(),
+            pgo_cost0=cost0, pgo_cost=cost,
+            metrics=self.graph.align_to_gt(),
+        )

@@ -1,0 +1,97 @@
+"""End-to-end SLAM test: simulated loop sequence -> loops found -> PGO
+reduces trajectory error (the tbv_slam_offline path in miniature)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tbv_slam_public_tpu.core import se2
+from tbv_slam_public_tpu.core.config import (FeatureConfig, LoopClosureConfig,
+                                             OdometryConfig, RadarConfig,
+                                             RegistrationConfig,
+                                             ScanContextConfig, TBVConfig,
+                                             VerificationConfig)
+from tbv_slam_public_tpu.eval import trajectory as traj_eval
+from tbv_slam_public_tpu.io import simulate
+from tbv_slam_public_tpu.models.slam import TBVSLAM
+
+
+def slam_config():
+    return TBVConfig(
+        radar=RadarConfig(num_azimuths=120, num_range_bins=200, range_res=0.35,
+                          k_strongest=8, min_distance=1.0, max_distance=65.0),
+        features=FeatureConfig(resolution=3.0, cell_capacity=256,
+                               grid_extent=60.0),
+        registration=RegistrationConfig(cost="P2L", weight_option=4),
+        odometry=OdometryConfig(submap_scan_size=3, compensate=False),
+        scancontext=ScanContextConfig(max_radius=60.0, n_candidates=3,
+                                      num_candidates_from_tree=6,
+                                      db_chunk=128),
+        verification=VerificationConfig(model_threshold=0.5,
+                                        peaks_capacity=2048),
+        loopclosure=LoopClosureConfig(n_aggregate=1, local_map_capacity=2048),
+    )
+
+
+@pytest.fixture(scope="module")
+def slam_run():
+    seq = simulate.make_sequence(
+        num_frames=150, seed=3, num_azimuths=120, num_range_bins=200,
+        range_res=0.35,
+        traj_kwargs=dict(radius=18.0, step=0.8, laps=1.3))
+    cfg = slam_config()
+    slam = TBVSLAM(cfg)
+    g0 = seq.gt_poses[0]
+    for i in range(seq.images.shape[0]):
+        gt_rel = np.asarray(se2.relative(jnp.asarray(g0),
+                                         jnp.asarray(seq.gt_poses[i])))
+        slam.process_frame(seq.images[i], stamp=i * 0.25, gt_pose=gt_rel)
+    odom_poses = slam.graph.poses_array().copy()  # before optimization
+    summary = slam.finish(optimize=True)
+    return seq, slam, summary, odom_poses
+
+
+def test_finds_true_loops(slam_run):
+    seq, slam, summary, _ = slam_run
+    assert summary.num_loops >= 1, "no loop closures accepted"
+    gt = slam.graph.gt_array()
+    for e in slam.graph.edges:
+        if e["etype"] == 0:
+            continue
+        a, b = e["idx"]
+        assert abs(a - b) > 5, "loop connects adjacent keyframes"
+        gt_dist = np.linalg.norm(gt[a, :2] - gt[b, :2])
+        assert gt_dist < 6.0, f"accepted loop between far-apart poses ({gt_dist:.1f} m)"
+
+
+def test_loop_relative_pose_accuracy(slam_run):
+    """Accepted loop t_be must match GT relative pose (<4 m, <2.5 deg — the
+    reference's positive-ok gate, EvaluationManager.cpp:12-27)."""
+    _, slam, summary, _ = slam_run
+    gt = slam.graph.gt_array()
+    for e in slam.graph.edges:
+        if e["etype"] == 0:
+            continue
+        a, b = e["idx"]
+        t_gt = np.asarray(se2.relative(jnp.asarray(gt[a]), jnp.asarray(gt[b])))
+        err_t = np.linalg.norm(e["meas"][:2] - t_gt[:2])
+        err_r = abs(float(se2.wrap_angle(jnp.asarray(e["meas"][2] - t_gt[2]))))
+        assert err_t < 4.0, (err_t, a, b)
+        assert err_r < np.radians(2.5), (err_r, a, b)
+
+
+def test_optimization_reduces_ate(slam_run):
+    _, slam, summary, odom_poses = slam_run
+    gt = slam.graph.gt_array()
+    ate_odom = traj_eval.ate_rmse(odom_poses, gt)
+    ate_slam = summary.metrics["ate_rmse"]
+    assert summary.pgo_cost < summary.pgo_cost0
+    assert ate_slam <= ate_odom * 1.05, (ate_slam, ate_odom)
+
+
+def test_candidate_log_records_features(slam_run):
+    _, slam, summary, _ = slam_run
+    assert len(slam.loops.candidate_log) > 0
+    row = slam.loops.candidate_log[0]
+    for key in ("id_from", "id_to", "prob", "sc_sim", "odom_bounds",
+                "alignment_quality", "t_be", "reg_ok"):
+        assert key in row
