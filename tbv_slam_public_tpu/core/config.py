@@ -164,6 +164,7 @@ class PGOConfig:
     replace_cov_by_identity: bool = True
     cauchy_scale: float = 0.1  # Cauchy loss on loop edges
     max_iterations: int = 64
+    function_tolerance: float = 1e-7  # Ceres-style early exit on rel decrease
     cg_iterations: int = 100
     cg_tol: float = 1e-6
     init_lambda: float = 1e-6

@@ -118,6 +118,20 @@ def graph_cost(poses: jnp.ndarray, edges: GraphEdges, cfg: PGOConfig):
     return 0.5 * jnp.sum(rho)
 
 
+def _incidence(edges: GraphEdges, n: int, dtype):
+    """One-hot begin/end incidence matrices [E, N] (masked edges zeroed).
+
+    TPU-first detail: every edge->node reduction below is expressed as a
+    matmul against these one-hots instead of a scatter-add — scatters
+    serialize on TPU while [N,E]x[E,·] contractions run on the MXU.
+    """
+    cols = jnp.arange(n)
+    m = edges.mask[:, None]
+    ub = ((edges.idx[:, 0:1] == cols[None, :]) & m).astype(dtype)
+    ue = ((edges.idx[:, 1:2] == cols[None, :]) & m).astype(dtype)
+    return ub, ue
+
+
 def _gradient_and_blocks(poses, edges, cfg: PGOConfig):
     """IRLS gradient [N,3] and the per-edge GN blocks for H."""
     r, Jb, Je = _edge_jacobians(poses, edges)
@@ -127,9 +141,8 @@ def _gradient_and_blocks(poses, edges, cfg: PGOConfig):
     n = poses.shape[0]
     gb = jnp.einsum("eij,ei->ej", Jb, wr)
     ge = jnp.einsum("eij,ei->ej", Je, wr)
-    g = jnp.zeros((n, 3), poses.dtype)
-    g = g.at[edges.idx[:, 0]].add(gb)
-    g = g.at[edges.idx[:, 1]].add(ge)
+    ub, ue = _incidence(edges, n, poses.dtype)
+    g = ub.T @ gb + ue.T @ ge
     we = w[:, None, None]
     Hbb = we * jnp.einsum("eri,erj->eij", Jb, Jb)
     Hee = we * jnp.einsum("eri,erj->eij", Je, Je)
@@ -140,16 +153,20 @@ def _gradient_and_blocks(poses, edges, cfg: PGOConfig):
 def _dense_hessian(n, edges, blocks, gauge_mask):
     """Assemble the dense [3N,3N] Hessian from the 3x3 edge blocks.
 
+    MXU form: block scatter-adds become one-hot einsum contractions over the
+    edge axis (matmuls), which XLA tiles onto the systolic array.
+
     ``gauge_mask`` [N] bool marks FREE nodes; fixed/padded nodes get identity
     rows/cols so the factorization stays SPD without changing free DoFs.
     """
     Hbb, Hee, Hbe = blocks
-    ib, ie = edges.idx[:, 0], edges.idx[:, 1]
-    H = jnp.zeros((n, 3, n, 3), Hbb.dtype)
-    H = H.at[ib, :, ib, :].add(Hbb)
-    H = H.at[ie, :, ie, :].add(Hee)
-    H = H.at[ib, :, ie, :].add(Hbe)
-    H = H.at[ie, :, ib, :].add(jnp.swapaxes(Hbe, -1, -2))
+    ub, ue = _incidence(edges, n, Hbb.dtype)
+    H = (
+        jnp.einsum("en,eij,em->nimj", ub, Hbb, ub)
+        + jnp.einsum("en,eij,em->nimj", ue, Hee, ue)
+        + jnp.einsum("en,eij,em->nimj", ub, Hbe, ue)
+        + jnp.einsum("en,eji,em->nimj", ue, Hbe, ub)
+    )
     H = H.reshape(3 * n, 3 * n)
     free = jnp.repeat(gauge_mask, 3)
     keep = free[:, None] & free[None, :]
@@ -245,14 +262,20 @@ def optimize(
 
     cost0 = graph_cost(poses, edges, cfg)
 
-    def body(_, state):
-        p, lam, cur, accepted = state
+    def cond(state):
+        _, _, _, _, itr, done = state
+        return (itr < cfg.max_iterations) & ~done
+
+    def body(state):
+        p, lam, cur, accepted, itr, _ = state
         cost, g, blocks = _gradient_and_blocks(p, edges, cfg)
         if solver == "cholesky":
             H = _dense_hessian(n, edges, blocks, gauge_mask)
             damp = lam * jnp.diag(jnp.diagonal(H))
             g_flat = jnp.where(jnp.repeat(gauge_mask, 3), g.reshape(-1), 0.0)
-            step = -jnp.linalg.solve(H + damp + 1e-9 * jnp.eye(3 * n), g_flat)
+            c_and_lower = jax.scipy.linalg.cho_factor(
+                H + damp + 1e-9 * jnp.eye(3 * n))
+            step = -jax.scipy.linalg.cho_solve(c_and_lower, g_flat)
             step = step.reshape(n, 3)
         else:
             r, Jb, Je = _edge_jacobians(p, edges)
@@ -266,16 +289,20 @@ def optimize(
         cand = cand.at[:, 2].set(se2.wrap_angle(cand[:, 2]))
         new_cost = graph_cost(cand, edges, cfg)
         accept = new_cost < cur
+        # Ceres-style convergence: accepted step with tiny relative decrease
+        rel_dec = (cur - new_cost) / jnp.maximum(cur, 1e-20)
+        done = (accept & (rel_dec < cfg.function_tolerance)) | (lam > 1e7)
         p = jnp.where(accept, cand, p)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-12),
                         jnp.minimum(lam * 4.0, 1e8))
         cur = jnp.where(accept, new_cost, cur)
         accepted = accepted + accept.astype(jnp.int32)
-        return p, lam, cur, accepted
+        return p, lam, cur, accepted, itr + 1, done
 
     state = (poses, jnp.asarray(cfg.init_lambda, poses.dtype), cost0,
-             jnp.asarray(0, jnp.int32))
-    p, _, cost, iters = jax.lax.fori_loop(0, cfg.max_iterations, body, state)
+             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+             jnp.asarray(False))
+    p, _, cost, iters, _, _ = jax.lax.while_loop(cond, body, state)
     return PGOResult(poses=p, cost0=cost0, cost=cost, iterations=iters)
 
 

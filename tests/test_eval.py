@@ -1,0 +1,115 @@
+"""Evaluation-layer tests: KITTI segment metrics, trajectory IO, loop labels."""
+import os
+
+import numpy as np
+import pytest
+
+from tbv_slam_public_tpu.eval import kitti, loops, trajectory
+
+
+def _circle_traj(n=2000, radius=200.0):
+    ang = np.linspace(0, 1.5 * np.pi, n)
+    gt = np.stack([radius * np.cos(ang), radius * np.sin(ang),
+                   np.arctan2(np.cos(ang), -np.sin(ang))], axis=1)
+    return gt
+
+
+def test_kitti_zero_error_on_identical():
+    gt = _circle_traj()
+    m = kitti.evaluate(gt, gt.copy())
+    assert m.num_segments > 0
+    assert m.trans_err_pct < 1e-6
+    assert m.rot_err_deg_per_100m < 1e-6
+    assert m.ate_rmse < 1e-6
+
+
+def test_kitti_known_drift():
+    """2% along-track scale drift must measure ~2% translational error."""
+    gt = _circle_traj()
+    dist = kitti.trajectory_distances(gt)
+    est = gt.copy()
+    # stretch path length by 2%: inflate radius by 2%
+    est[:, 0] = gt[:, 0] * 1.02
+    est[:, 1] = gt[:, 1] * 1.02
+    m = kitti.evaluate(gt, est, align=True)
+    assert 1.0 < m.trans_err_pct < 3.5, m.trans_err_pct
+    assert m.num_segments > 100
+
+
+def test_kitti_result_roundtrip(tmp_path):
+    gt = _circle_traj(800)
+    est = gt + np.random.default_rng(0).normal(0, 0.05, gt.shape)
+    m = kitti.evaluate(gt, est)
+    p = str(tmp_path / "result.txt")
+    kitti.write_result(p, 0, m)
+    parsed = kitti.read_result(p)
+    assert abs(parsed["Trans.err.(%)"] - m.trans_err_pct) < 1e-4
+    assert abs(parsed["ATE(m)"] - m.ate) < 1e-4
+
+
+def test_kitti_file_eval(tmp_path):
+    gt = _circle_traj(600)
+    est = gt + 0.01
+    gp, ep = str(tmp_path / "gt.txt"), str(tmp_path / "est.txt")
+    trajectory.write_kitti(gp, gt)
+    trajectory.write_kitti(ep, est)
+    m = kitti.evaluate_files(gp, ep, str(tmp_path / "result.txt"))
+    assert os.path.exists(tmp_path / "result.txt")
+    assert m.ate_rmse < 0.05  # constant offset absorbed by alignment
+
+
+def test_tum_writer(tmp_path):
+    gt = _circle_traj(10)
+    p = str(tmp_path / "t.tum")
+    trajectory.write_tum(p, np.arange(10.0), gt)
+    rows = np.loadtxt(p)
+    assert rows.shape == (10, 8)
+    np.testing.assert_allclose(rows[:, 1], gt[:, 0], atol=1e-5)
+
+
+def test_loop_labels():
+    # square loop revisiting the start
+    n = 100
+    t = np.linspace(0, 2 * np.pi, n)
+    gt = np.stack([30 * np.cos(t) - 30, 30 * np.sin(t), t + np.pi / 2], axis=1)
+    # frame n-1 is back at the start -> true loop vs frame 0
+    t_gt_be = np.zeros(3)
+    a, b = gt[n - 1], gt[0]
+    c, s = np.cos(a[2]), np.sin(a[2])
+    d = b[:2] - a[:2]
+    t_gt_be = np.array([c * d[0] + s * d[1], -s * d[0] + c * d[1],
+                        np.arctan2(np.sin(b[2] - a[2]), np.cos(b[2] - a[2]))])
+    is_loop, reg_ok = loops.candidate_labels(gt, n - 1, 0, t_gt_be)
+    assert is_loop and reg_ok
+    # wrong registration: 10 m off
+    is_loop2, reg_ok2 = loops.candidate_labels(
+        gt, n - 1, 0, t_gt_be + np.array([10.0, 0, 0]))
+    assert is_loop2 and not reg_ok2
+    # mid-sequence frame far from everything >= 10 idx away
+    is_loop3, _ = loops.candidate_labels(gt, n // 2, 0, np.zeros(3))
+    assert not is_loop3
+
+
+def test_classifier_metrics_and_csv(tmp_path):
+    rng = np.random.default_rng(0)
+    n = 400
+    labels = (rng.uniform(size=n) < 0.3).astype(float)
+    probs = np.clip(labels * 0.8 + rng.normal(0, 0.15, n) + 0.1, 0, 1)
+    m = loops.classifier_metrics(probs, labels)
+    assert m.auc > 0.9
+    assert m.accuracy > 0.8
+    ths, p, r = loops.pr_curve(probs, labels)
+    assert p.shape == ths.shape == r.shape
+    # recall decreases with threshold
+    assert r[0] >= r[-1]
+
+    log = [dict(id_from=50, id_to=0, prob=float(probs[i]), odom_bounds=0.1,
+                sc_sim=0.2, alignment_quality=1.0, guess_nr=0,
+                t_be=[0.0, 0.0, 0.0], reg_ok=True) for i in range(5)]
+    gt = _circle_traj(100, radius=3.0)  # small circle -> everything loops
+    labeled = loops.label_candidate_log(log, gt)
+    path = str(tmp_path / "loop.csv")
+    loops.write_loop_csv(path, labeled)
+    rows = loops.read_loop_csv(path)
+    assert len(rows) == 5
+    assert "is_loop" in rows[0]
