@@ -177,10 +177,12 @@ class OdometryPipeline:
         self.kf_cells = []
         self.kf_peaks = []
         self.kf_clouds = []
+        self.kf_gt: List[np.ndarray] = []  # GT at keyframe stamps (if fed)
         self.kf_constraints: List[dict] = []
         self._last_kf_idx: Optional[int] = None
 
-    def process(self, image: np.ndarray, stamp: float = 0.0) -> OdometryOutput:
+    def process(self, image: np.ndarray, stamp: float = 0.0,
+                gt_pose: Optional[np.ndarray] = None) -> OdometryOutput:
         image = jnp.asarray(image)
         if int(self.state.frame_idx) == 0:
             with timing.timer("odometry_first_frame"):
@@ -195,6 +197,8 @@ class OdometryPipeline:
             kf_idx = len(self.kf_poses)
             self.kf_poses.append(np.asarray(out.pose))
             self.kf_stamps.append(stamp)
+            if gt_pose is not None:
+                self.kf_gt.append(np.asarray(gt_pose, np.float32))
             self.kf_cells.append(jax.tree.map(np.asarray, out.cells))
             self.kf_peaks.append(jax.tree.map(np.asarray, out.peaks))
             self.kf_clouds.append(jax.tree.map(np.asarray, out.cloud))

@@ -149,6 +149,29 @@ class SLAMSummary:
     metrics: Optional[Dict[str, float]]
 
 
+def run_offline_slam(cfg: TBVConfig, simple_graph,
+                     solver: str = "cholesky") -> "TBVSLAM":
+    """SLAM from an odometry-stage checkpoint (the tbv_slam_offline path:
+    load simple_graph -> loop closure to exhaustion -> one optimization,
+    tbv_slam_offline.cpp:215-356).  Returns the populated TBVSLAM; call
+    ``.finish()`` happened internally — read ``.summary``."""
+    import jax.numpy as jnp
+
+    slam = TBVSLAM(cfg)
+    g = simple_graph
+    n = g.num_keyframes
+    take = lambda tree, i: jax.tree.map(lambda x: jnp.asarray(x[i]), tree)
+    for i in range(n):
+        gt = None if g.kf_gt is None else g.kf_gt[i]
+        slam.graph.add_node(g.kf_poses[i], float(g.kf_stamps[i]), gt=gt)
+        slam.loops.add_keyframe(take(g.peaks, i), take(g.cells, i),
+                                g.kf_poses[i])
+    for idx, meas in zip(g.constraints_idx, g.constraints_meas):
+        slam.graph.add_odometry_constraint(int(idx[0]), int(idx[1]), meas)
+    slam.summary = slam.finish(optimize=True, solver=solver)
+    return slam
+
+
 class TBVSLAM:
     """Full pipeline on one sequence (the tbv_slam_offline analogue,
     tbv_slam_offline.cpp:215-356 — deterministic single-stream schedule)."""
@@ -168,7 +191,7 @@ class TBVSLAM:
         closer (processing any keyframes whose context is complete)."""
         self._frames += 1
         n_kf_before = len(self.odometry.kf_poses)
-        out = self.odometry.process(image, stamp)
+        out = self.odometry.process(image, stamp, gt_pose=gt_pose)
         if len(self.odometry.kf_poses) > n_kf_before:
             kf_idx = len(self.odometry.kf_poses) - 1
             pose = self.odometry.kf_poses[kf_idx]

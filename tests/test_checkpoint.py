@@ -1,0 +1,73 @@
+"""Checkpoint tests: simple_graph save/load roundtrip and the offline split
+(odometry once -> SLAM from checkpoint)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tbv_slam_public_tpu.core import se2
+from tbv_slam_public_tpu.io import checkpoint, simulate
+from tbv_slam_public_tpu.models.odometry import OdometryPipeline
+from tbv_slam_public_tpu.models.slam import run_offline_slam
+from tests.test_slam import slam_config
+
+
+@pytest.fixture(scope="module")
+def odometry_run():
+    seq = simulate.make_sequence(
+        num_frames=120, seed=3, num_azimuths=120, num_range_bins=200,
+        range_res=0.35, traj_kwargs=dict(radius=13.0, step=0.8, laps=1.25))
+    cfg = slam_config()
+    pipe = OdometryPipeline(cfg)
+    g0 = seq.gt_poses[0]
+    for i in range(seq.images.shape[0]):
+        gt_rel = np.asarray(se2.relative(jnp.asarray(g0),
+                                         jnp.asarray(seq.gt_poses[i])))
+        pipe.process(seq.images[i], stamp=i * 0.25, gt_pose=gt_rel)
+    return cfg, pipe
+
+
+def test_simple_graph_roundtrip(tmp_path, odometry_run):
+    cfg, pipe = odometry_run
+    g = checkpoint.from_odometry(pipe)
+    assert g.num_keyframes == len(pipe.kf_poses)
+    assert g.kf_gt is not None
+    path = str(tmp_path / "simple_graph.npz")
+    checkpoint.save_simple_graph(path, g)
+    g2 = checkpoint.load_simple_graph(path)
+    np.testing.assert_allclose(g2.kf_poses, g.kf_poses)
+    np.testing.assert_allclose(np.asarray(g2.cells.mean),
+                               np.asarray(g.cells.mean))
+    np.testing.assert_allclose(g2.constraints_meas, g.constraints_meas)
+    assert g2.constraints_idx.shape[0] == g.num_keyframes - 1
+
+
+def test_offline_slam_from_checkpoint(tmp_path, odometry_run):
+    cfg, pipe = odometry_run
+    path = str(tmp_path / "simple_graph.npz")
+    checkpoint.save_simple_graph(path, checkpoint.from_odometry(pipe))
+    g = checkpoint.load_simple_graph(path)
+
+    slam = run_offline_slam(cfg, g)
+    s = slam.summary
+    assert s.num_keyframes == g.num_keyframes
+    assert s.num_loops >= 1
+    assert s.metrics is not None
+    # optimized trajectory at least as good as raw odometry
+    gt = slam.graph.gt_array()
+    from tbv_slam_public_tpu.eval import trajectory as tj
+    ate_odom = tj.ate_rmse(g.kf_poses, gt)
+    assert s.metrics["ate_rmse"] <= ate_odom * 1.05
+
+
+def test_full_graph_roundtrip(tmp_path, odometry_run):
+    cfg, pipe = odometry_run
+    g = checkpoint.from_odometry(pipe)
+    slam = run_offline_slam(cfg, g)
+    path = str(tmp_path / "full_graph.npz")
+    checkpoint.save_full_graph(path, slam.graph)
+    g2 = checkpoint.load_full_graph(path, cfg)
+    assert g2.num_nodes == slam.graph.num_nodes
+    assert g2.num_loops() == slam.graph.num_loops()
+    np.testing.assert_allclose(g2.poses_array(), slam.graph.poses_array(),
+                               atol=1e-5)
