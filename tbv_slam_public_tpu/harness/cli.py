@@ -1,0 +1,239 @@
+"""Command-line entry points (the reference's L5 nodes, rebuilt).
+
+Subcommands:
+
+- ``odometry``: run CFEAR odometry over a dataset, write KITTI/TUM
+  trajectories + the ``simple_graph.npz`` checkpoint (offline_odometry.cpp
+  analogue, offline_odometry.cpp:57-146),
+- ``slam``: run loop closure + PGO from a checkpoint, write results
+  (tbv_slam_offline.cpp:215-356),
+- ``online``: full per-frame pipeline from images (tbv_slam_online.cpp,
+  deterministic schedule),
+- ``eval``: KITTI evaluation of pose files (eval_odom.py),
+- ``sweep``: parameter-sweep job farm (tbv_slam/python/eval.py).
+
+Config overrides are dotted ``key=value`` tokens after the subcommand args,
+e.g. ``radar.k_strongest=40`` (the boost::program_options analogue).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def _build_cfg(meta: dict, overrides: List[str]):
+    from ..core.config import (TBVConfig, RadarConfig, apply_overrides,
+                               parse_cli_overrides)
+
+    cfg = TBVConfig(radar=RadarConfig(
+        num_azimuths=meta["num_azimuths"],
+        num_range_bins=meta["num_range_bins"],
+        range_res=meta["range_res"]))
+    if overrides:
+        cfg = apply_overrides(cfg, parse_cli_overrides(overrides))
+    return cfg
+
+
+def _write_pars(cfg, outdir: str) -> None:
+    from ..core.config import to_pars_text
+
+    with open(os.path.join(outdir, "pars.txt"), "w") as f:
+        f.write(to_pars_text(cfg) + "\n")
+
+
+def _write_timing(outdir: str) -> None:
+    from ..core.timing import timing
+
+    with open(os.path.join(outdir, "time_statistics.txt"), "w") as f:
+        f.write(timing.present())
+
+
+def _export_trajectories(outdir: str, est: np.ndarray,
+                         gt: Optional[np.ndarray], stamps, sub: str,
+                         seq: int = 0) -> dict:
+    from ..eval import kitti, trajectory
+
+    d = os.path.join(outdir, sub)
+    os.makedirs(d, exist_ok=True)
+    trajectory.write_kitti(os.path.join(d, "00.txt"), est)
+    trajectory.write_tum(os.path.join(d, "00.tum"), np.asarray(stamps), est)
+    metrics = {}
+    if gt is not None and len(gt) == len(est):
+        trajectory.write_kitti(os.path.join(d, "00_gt.txt"), gt)
+        m = kitti.evaluate(gt, est)
+        kitti.write_result(os.path.join(d, "result.txt"), seq, m)
+        metrics = m.as_dict()
+    return metrics
+
+
+def cmd_odometry(args, overrides: List[str]) -> int:
+    from ..core.timing import timing
+    from ..io import checkpoint, oxford
+    from ..models.odometry import OdometryPipeline
+
+    frames, meta = oxford.open_sequence(args.dataset)
+    cfg = _build_cfg(meta, overrides)
+    os.makedirs(args.output, exist_ok=True)
+    timing.reset()
+
+    pipe = OdometryPipeline(cfg)
+    n = 0
+    gts = []
+    for fr in frames:
+        if args.max_frames and n >= args.max_frames:
+            break
+        pipe.process(fr.image, stamp=fr.stamp, gt_pose=fr.gt_pose)
+        gts.append(fr.gt_pose)
+        n += 1
+
+    est = np.asarray(pipe.frame_poses)
+    gt = np.stack(gts) if gts and all(g is not None for g in gts) else None
+    metrics = _export_trajectories(args.output, est, gt, pipe.frame_stamps,
+                                   "odom")
+    checkpoint.save_simple_graph(
+        os.path.join(args.output, "simple_graph.npz"),
+        checkpoint.from_odometry(pipe))
+    _write_pars(cfg, args.output)
+    _write_timing(args.output)
+    print(json.dumps(dict(frames=n, keyframes=len(pipe.kf_poses), **metrics)))
+    return 0
+
+
+def cmd_slam(args, overrides: List[str]) -> int:
+    from ..core.timing import timing
+    from ..eval import loops as loops_eval
+    from ..io import checkpoint
+    from ..models.slam import run_offline_slam
+
+    g = checkpoint.load_simple_graph(args.graph)
+    cfg = _build_cfg(dict(num_azimuths=400, num_range_bins=3768,
+                          range_res=0.0438), overrides)
+    os.makedirs(args.output, exist_ok=True)
+    timing.reset()
+
+    slam = run_offline_slam(cfg, g, solver=args.solver)
+    s = slam.summary
+    est = slam.graph.poses_array()
+    gt = slam.graph.gt_array()
+    metrics = _export_trajectories(args.output, est, gt, slam.graph.stamps,
+                                   "est")
+    _export_trajectories(args.output, g.kf_poses, gt, g.kf_stamps, "odom")
+    if gt is not None:
+        labeled = loops_eval.label_candidate_log(slam.loops.candidate_log, gt)
+        loops_eval.write_loop_csv(
+            os.path.join(args.output, "loop", "loop.csv"), labeled)
+        probs = np.asarray([r["prob"] for r in labeled])
+        labels = np.asarray([r["is_loop"] for r in labeled], float)
+        if len(labeled):
+            cm = loops_eval.classifier_metrics(probs, labels)
+            loops_eval.write_result_txt(
+                os.path.join(args.output, "loop", "result.txt"), cm)
+    checkpoint.save_full_graph(os.path.join(args.output, "full_graph.npz"),
+                               slam.graph)
+    _write_pars(cfg, args.output)
+    _write_timing(args.output)
+    print(json.dumps({**(s.metrics or {}), **metrics,
+                      "keyframes": s.num_keyframes, "loops": s.num_loops,
+                      "traveled": s.traveled_distance}))
+    return 0
+
+
+def cmd_online(args, overrides: List[str]) -> int:
+    from ..core.timing import timing
+    from ..io import checkpoint, oxford
+    from ..models.slam import TBVSLAM
+
+    frames, meta = oxford.open_sequence(args.dataset)
+    cfg = _build_cfg(meta, overrides)
+    os.makedirs(args.output, exist_ok=True)
+    timing.reset()
+
+    slam = TBVSLAM(cfg)
+    n = 0
+    for fr in frames:
+        if args.max_frames and n >= args.max_frames:
+            break
+        slam.process_frame(fr.image, stamp=fr.stamp, gt_pose=fr.gt_pose)
+        n += 1
+    s = slam.finish(optimize=True)
+    est = slam.graph.poses_array()
+    gt = slam.graph.gt_array()
+    metrics = _export_trajectories(args.output, est, gt, slam.graph.stamps,
+                                   "est")
+    checkpoint.save_full_graph(os.path.join(args.output, "full_graph.npz"),
+                               slam.graph)
+    _write_pars(cfg, args.output)
+    _write_timing(args.output)
+    print(json.dumps({**(s.metrics or {}), **metrics, "frames": n,
+                      "keyframes": s.num_keyframes, "loops": s.num_loops}))
+    return 0
+
+
+def cmd_eval(args, overrides: List[str]) -> int:
+    from ..eval import kitti
+
+    m = kitti.evaluate_files(args.gt, args.est, args.output)
+    print(json.dumps(m.as_dict()))
+    return 0
+
+
+def cmd_sweep(args, overrides: List[str]) -> int:
+    from .sweep import run_sweep
+
+    results = run_sweep(args.par_file, args.dataset, args.output,
+                        base_overrides=overrides, workers=args.workers,
+                        max_frames=args.max_frames, mode=args.mode)
+    print(json.dumps(results))
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    ap = argparse.ArgumentParser(prog="tbv", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("odometry")
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--max-frames", type=int, default=0)
+    p.set_defaults(fn=cmd_odometry)
+
+    p = sub.add_parser("slam")
+    p.add_argument("--graph", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--solver", default="cholesky",
+                   choices=["cholesky", "cg"])
+    p.set_defaults(fn=cmd_slam)
+
+    p = sub.add_parser("online")
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--max-frames", type=int, default=0)
+    p.set_defaults(fn=cmd_online)
+
+    p = sub.add_parser("eval")
+    p.add_argument("--gt", required=True)
+    p.add_argument("--est", required=True)
+    p.add_argument("--output", default=None)
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("sweep")
+    p.add_argument("--par-file", required=True)
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--workers", type=int, default=1)
+    p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--mode", default="online",
+                   choices=["online", "odometry"])
+    p.set_defaults(fn=cmd_sweep)
+
+    args, overrides = ap.parse_known_args(argv)
+    return args.fn(args, overrides)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
