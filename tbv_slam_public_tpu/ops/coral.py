@@ -68,12 +68,23 @@ def _entropy_from_moments(n, s1, s2, eps):
     return ent, det
 
 
+def _moments_dispatch(q_xy, q_mask, p_xy, p_mask, radius):
+    """Pick the Pallas kernel on TPU (tiled VMEM interaction, no [Q,P,2]
+    materialization) and the jnp fallback elsewhere."""
+    if jax.default_backend() == "tpu":
+        from ..pallas import coral_moments
+
+        return coral_moments.neighbor_moments(q_xy, q_mask, p_xy, p_mask,
+                                              radius)
+    return _neighbor_moments(q_xy, q_mask, p_xy, p_mask, radius)
+
+
 @partial(jax.jit, static_argnames=())
 def _coral_impl(src_xy, src_mask, ref_xy, ref_mask, radius, eps):
     # src-perspective: own = src, other = ref; then the mirror.
     def side(q_xy, q_mask, own_xy, own_mask, oth_xy, oth_mask):
-        n_own, s1_own, s2_own = _neighbor_moments(q_xy, q_mask, own_xy, own_mask, radius)
-        n_oth, s1_oth, s2_oth = _neighbor_moments(q_xy, q_mask, oth_xy, oth_mask, radius)
+        n_own, s1_own, s2_own = _moments_dispatch(q_xy, q_mask, own_xy, own_mask, radius)
+        n_oth, s1_oth, s2_oth = _moments_dispatch(q_xy, q_mask, oth_xy, oth_mask, radius)
         n_joint = n_own + n_oth
         s1_joint = s1_own + s1_oth
         s2_joint = s2_own + s2_oth
