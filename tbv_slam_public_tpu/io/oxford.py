@@ -147,6 +147,21 @@ class OxfordSequence:
         ])
 
     def __iter__(self) -> Iterator[RadarFrame]:
+        # Prefer the native threaded decoder (io.native_loader) — libpng +
+        # prefetch ring in C++; fall back to PIL per-file decode.
+        try:
+            from . import native_loader
+
+            if native_loader.available() and self.flavor == "oxford":
+                reader = native_loader.NativeSequenceReader(
+                    self.files, strip_cols=OXFORD_META_COLUMNS)
+                for img, stamp in reader:
+                    yield RadarFrame(image=img, stamp=stamp,
+                                     gt_pose=self._gt_at(stamp))
+                reader.close()
+                return
+        except ImportError:
+            pass
         for stamp, path in self.files:
             if self.flavor == "mulran":
                 img = load_mulran_scan(path)

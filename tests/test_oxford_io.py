@@ -1,0 +1,68 @@
+"""Oxford/MulRan dataset reader tests on synthetic fixtures."""
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tbv_slam_public_tpu.io import oxford
+
+
+def _make_oxford_dir(tmp_path, n=6, rows=32, cols=64):
+    rng = np.random.default_rng(0)
+    (tmp_path / "radar").mkdir()
+    truth = []
+    for i in range(n):
+        img = rng.integers(0, 255, (rows, oxford.OXFORD_META_COLUMNS + cols),
+                           dtype=np.uint8)
+        stamp_us = 500_000 * (i + 1)
+        Image.fromarray(img).save(tmp_path / "radar" / f"{stamp_us:016d}.png")
+        truth.append(img[:, oxford.OXFORD_META_COLUMNS:])
+    # relative GT: constant forward motion
+    (tmp_path / "gt").mkdir()
+    with open(tmp_path / "gt" / "radar_odometry.csv", "w") as f:
+        f.write("source_radar_timestamp,destination_radar_timestamp,"
+                "x,y,z,roll,pitch,yaw\n")
+        for i in range(1, n):
+            f.write(f"{500_000 * i},{500_000 * (i + 1)},1.0,0.0,0,0,0,0.01\n")
+    return truth
+
+
+def test_oxford_sequence(tmp_path):
+    truth = _make_oxford_dir(tmp_path)
+    seq = oxford.OxfordSequence(str(tmp_path))
+    frames = list(seq)
+    assert len(frames) == 6
+    np.testing.assert_array_equal(frames[0].image, truth[0])
+    np.testing.assert_array_equal(frames[-1].image, truth[-1])
+    # GT integrates to ~1 m/frame forward
+    assert frames[0].gt_pose is not None
+    d = np.linalg.norm(frames[-1].gt_pose[:2] - frames[0].gt_pose[:2])
+    assert 3.0 < d < 6.0
+
+
+def test_gt_integration():
+    rel = np.array([[1.0, 1.0, 0.0, np.pi / 2],
+                    [2.0, 1.0, 0.0, np.pi / 2],
+                    [3.0, 1.0, 0.0, np.pi / 2],
+                    [4.0, 1.0, 0.0, np.pi / 2]])
+    poses = oxford.integrate_relative_gt(rel)
+    # a unit square: returns to origin
+    np.testing.assert_allclose(poses[-1][1:3], [0.0, 0.0], atol=1e-9)
+
+
+def test_mulran_rotation(tmp_path):
+    img = np.arange(32 * 16, dtype=np.uint8).reshape(32, 16)
+    p = tmp_path / "0001.png"
+    Image.fromarray(img).save(p)
+    out = oxford.load_mulran_scan(str(p), num_range_bins=32)
+    assert out.shape == (16, 32)
+    np.testing.assert_array_equal(out, np.rot90(img))
+
+
+def test_open_sequence_sim():
+    frames, meta = oxford.open_sequence("sim:20:7")
+    assert len(frames) == 20
+    assert frames[0].image.shape == (meta["num_azimuths"],
+                                     meta["num_range_bins"])
+    assert frames[5].gt_pose is not None
