@@ -89,6 +89,12 @@ class OdometryConfig:
     sensor_period: float = 0.25  # 4 Hz radar
     vel_limit: float = 200.0
     acc_limit: float = 200.0
+    # C7 sampled covariance (odometrykeyframefuser.h:106-110)
+    use_sampled_covariance: bool = False
+    cov_sampling_xy_range: float = 0.4
+    cov_sampling_yaw_range: float = 0.0043625
+    cov_sampling_samples_per_axis: int = 3
+    cov_sampling_scaler: float = 4.0
 
 
 @dataclass(frozen=True)

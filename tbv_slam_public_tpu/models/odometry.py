@@ -110,8 +110,10 @@ def odometry_step(state: OdometryState, image: jnp.ndarray, cfg: TBVConfig):
         # soft velocity prior toward the constant-velocity guess
         # (n_scan_normal.cpp:371-375)
         prior = jnp.diag(jnp.asarray([10.0, 10.0, 31.6], jnp.float32))
+    kf_cells0, kf_poses0, kf_mask0 = (
+        state.kf_cells, state.kf_poses, state.kf_mask)
     res = registration.register_window(
-        cells, Tguess, state.kf_cells, state.kf_poses, state.kf_mask,
+        cells, Tguess, kf_cells0, kf_poses0, kf_mask0,
         cfg.registration,
         guess=Tguess if prior is not None else None,
         guess_sqrt_info=prior,
@@ -149,6 +151,15 @@ def odometry_step(state: OdometryState, image: jnp.ndarray, cfg: TBVConfig):
     # into that frame (odometrykeyframefuser.cpp:428-445).
     rot = se2.rotmat(-last_kf[2])
     cov = res.cov
+    if ocfg.use_sampled_covariance:
+        cov_s, ok = registration.sampled_covariance(
+            cells, Tcurrent, kf_cells0, kf_poses0, kf_mask0,
+            cfg.registration, res.score, res.num_residuals,
+            xy_range=ocfg.cov_sampling_xy_range,
+            yaw_range=ocfg.cov_sampling_yaw_range,
+            steps=ocfg.cov_sampling_samples_per_axis,
+            cov_scaler=ocfg.cov_sampling_scaler)
+        cov = jnp.where(ok, cov_s, cov)
     cov_rot = cov.at[:2, :2].set(rot @ cov[:2, :2] @ rot.T)
 
     out = OdometryOutput(

@@ -28,6 +28,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from ..core import se2
@@ -387,6 +388,78 @@ def register_window(
         pose=theta, score=score, num_residuals=n_res, iterations=used,
         success=success, cov=cov,
     )
+
+
+def _quad_fit_pinv(xy_range: float, yaw_range: float, steps: int) -> tuple:
+    """Static pseudo-inverse of the quadratic-fit design matrix over the
+    3^3 sampling grid (approximateCovarianceBySampling,
+    odometrykeyframefuser.cpp:324-342: monomials
+    [x^2, y^2, t^2, xy, yt, tx, x, y, t, 1])."""
+    xs = np.linspace(-xy_range / 2, xy_range / 2, steps)
+    ts = np.linspace(-yaw_range / 2, yaw_range / 2, steps)
+    rows = []
+    offs = []
+    for t in ts:
+        for x in xs:
+            for y in xs:
+                rows.append([x * x, y * y, t * t, x * y, y * t, t * x,
+                             x, y, t, 1.0])
+                offs.append([x, y, t])
+    a = np.asarray(rows, np.float64)
+    return (np.linalg.pinv(a).astype(np.float32),
+            np.asarray(offs, np.float32))
+
+
+@partial(jax.jit, static_argnames=("cfg", "xy_range", "yaw_range", "steps"))
+def sampled_covariance(
+    src: Cells,
+    theta_opt: jnp.ndarray,  # [3] optimized pose
+    tgt: Cells,
+    tgt_poses: jnp.ndarray,
+    tgt_scan_mask: jnp.ndarray,
+    cfg: RegistrationConfig,
+    final_score: jnp.ndarray,
+    n_res: jnp.ndarray,
+    xy_range: float = 0.4,
+    yaw_range: float = 0.0043625,
+    steps: int = 3,
+    cov_scaler: float = 4.0,
+):
+    """Grid-sampled covariance (C7): evaluate the registration cost on a
+    steps^3 grid around the optimum, fit a quadratic by least squares, and
+    invert its Hessian (approximateCovarianceBySampling,
+    odometrykeyframefuser.cpp:261-380).
+
+    All 27 cost evaluations run as ONE vmapped batch.  Returns (cov [3, 3],
+    success) — success is False when the quadratic is not convex, matching
+    the reference's rejection (odometrykeyframefuser.cpp:350-364).
+    """
+    pinv, offs = _quad_fit_pinv(xy_range, yaw_range, steps)
+    pinv = jnp.asarray(pinv)
+    poses = theta_opt[None, :] + jnp.asarray(offs)  # [S, 3]
+
+    def one(p):
+        c, _ = evaluate_cost(src, p, tgt, tgt_poses, tgt_scan_mask, cfg)
+        return c
+
+    costs = jax.vmap(one)(poses)  # [S]
+    q = pinv @ costs  # [10]
+    h = jnp.asarray([
+        [2 * q[0], q[3], q[5]],
+        [q[3], 2 * q[1], q[4]],
+        [q[5], q[4], 2 * q[2]],
+    ])
+    eigs = jnp.linalg.eigvalsh(h)
+    convex = jnp.all(eigs > 0)
+    # Censi-style scaling: final_cost / (residual dim - parameters)
+    resid_dim = jnp.where(cost_code(cfg.cost) == COST_P2L, 1, 2) * n_res
+    denom = jnp.maximum(resid_dim - 3, 1).astype(final_score.dtype)
+    score_scale = final_score / denom
+    hinv = jnp.linalg.inv(h + (~convex) * jnp.eye(3))  # guarded inverse
+    cov = 2.0 * hinv * score_scale * cov_scaler
+    fallback = jnp.diag(jnp.asarray([0.1 ** 2, 0.1 ** 2, 0.01 ** 2],
+                                    cov.dtype))
+    return jnp.where(convex, cov, fallback), convex
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -148,3 +148,44 @@ def test_vmap_batched_registration():
         got = np.asarray(res.pose[i])
         assert np.hypot(got[0] - o[0], got[1] - o[1]) < 0.15
         assert abs(se2.wrap_angle(jnp.asarray(got[2] - o[2]))) < 0.012
+
+
+def test_sampled_covariance_convex_quadratic(rng):
+    """On a well-constrained synthetic pair the cost surface around the
+    optimum is convex; the sampled covariance must be SPD and small."""
+    import jax
+    import jax.numpy as jnp
+    from tbv_slam_public_tpu.core.config import (FeatureConfig, RadarConfig,
+                                                 RegistrationConfig, TBVConfig)
+    from tbv_slam_public_tpu.io import simulate
+    from tbv_slam_public_tpu.ops import features, radar, registration
+
+    cfg = TBVConfig(
+        radar=RadarConfig(num_azimuths=100, num_range_bins=200, range_res=0.4,
+                          k_strongest=8, min_distance=1.0, max_distance=70.0),
+        features=FeatureConfig(cell_capacity=256, grid_extent=70.0),
+        registration=RegistrationConfig(cost="P2L", weight_option=4))
+    world = simulate.make_world(rng, num_walls=50, extent=40.0)
+
+    def scan(pose):
+        img = simulate.render_scan(world, pose, num_azimuths=100,
+                                   num_range_bins=200, range_res=0.4, rng=rng)
+        cloud, _ = radar.kstrongest_filter(jnp.asarray(img), cfg.radar)
+        return features.compute_cells(cloud, cfg.features)
+
+    tgt_cells = scan(np.zeros(3))
+    src_cells = scan(np.array([0.8, 0.2, 0.03]))
+    tgt = jax.tree.map(lambda x: x[None], tgt_cells)
+    res = registration.register_window(
+        src_cells, jnp.zeros(3), tgt, jnp.zeros((1, 3)), jnp.ones(1, bool),
+        cfg.registration)
+    assert bool(res.success)
+    cov, ok = registration.sampled_covariance(
+        src_cells, res.pose, tgt, jnp.zeros((1, 3)), jnp.ones(1, bool),
+        cfg.registration, res.score, res.num_residuals)
+    assert bool(ok), "quadratic fit should be convex at a good optimum"
+    cov = np.asarray(cov)
+    eig = np.linalg.eigvalsh(cov)
+    assert np.all(eig > 0)
+    assert cov[0, 0] < 1.0 and cov[1, 1] < 1.0  # well-constrained
+    np.testing.assert_allclose(cov, cov.T, atol=1e-7)
