@@ -135,6 +135,19 @@ def cmd_slam(args, overrides: List[str]) -> int:
                 os.path.join(args.output, "loop", "result.txt"), cm)
     checkpoint.save_full_graph(os.path.join(args.output, "full_graph.npz"),
                                slam.graph)
+    if gt is not None:
+        from ..eval import plots
+
+        plots.plot_trajectories(
+            os.path.join(args.output, "plots", "trajectory.png"),
+            dict(gt=gt, est=est, odom=g.kf_poses))
+        if slam.loops.candidate_log:
+            probs = np.asarray([r["prob"] for r in labeled])
+            labels = np.asarray([r["is_loop"] for r in labeled], float)
+            _, prec, rec = loops_eval.pr_curve(probs, labels)
+            plots.plot_pr_curves(
+                os.path.join(args.output, "plots", "loop_pr.png"),
+                {"TBV": (prec, rec)})
     _write_pars(cfg, args.output)
     _write_timing(args.output)
     print(json.dumps({**(s.metrics or {}), **metrics,
@@ -171,6 +184,91 @@ def cmd_online(args, overrides: List[str]) -> int:
     _write_timing(args.output)
     print(json.dumps({**(s.metrics or {}), **metrics, "frames": n,
                       "keyframes": s.num_keyframes, "loops": s.num_loops}))
+    return 0
+
+
+def cmd_train_alignment(args, overrides: List[str]) -> int:
+    """Alignment-classifier training (the odometry_training_node analogue,
+    odometry_training_node.cpp:1-80): run odometry, generate 13-perturbation
+    training pairs per keyframe, fit, save coefficients + ROC data."""
+    from ..io import oxford
+    from ..models.odometry import OdometryPipeline
+    from ..models.verification import AlignmentLearner
+    from ..ops import logistic
+    from ..eval import loops as loops_eval
+    import jax
+    import jax.numpy as jnp
+
+    frames, meta = oxford.open_sequence(args.dataset)
+    cfg = _build_cfg(meta, overrides)
+    os.makedirs(args.output, exist_ok=True)
+
+    pipe = OdometryPipeline(cfg)
+    learner = AlignmentLearner(cfg.verification)
+    n = 0
+    n_kf = 0
+    for fr in frames:
+        if args.max_frames and n >= args.max_frames:
+            break
+        pipe.process(fr.image, stamp=fr.stamp, gt_pose=fr.gt_pose)
+        while n_kf < len(pipe.kf_poses):
+            learner.add_training_pair(
+                jax.tree.map(jnp.asarray, pipe.kf_peaks[n_kf]),
+                jax.tree.map(jnp.asarray, pipe.kf_cells[n_kf]),
+                pipe.kf_poses[n_kf])
+            n_kf += 1
+        n += 1
+    learner.fit()
+    coef_path = os.path.join(args.output, "trained_alignment_classifier.txt")
+    learner.save(coef_path)
+
+    # training metrics + ROC data
+    x = np.concatenate(learner._x)
+    y = np.concatenate(learner._y)
+    probs = np.asarray(logistic.predict_proba(learner.model, jnp.asarray(x)))
+    cm = loops_eval.classifier_metrics(probs, y)
+    loops_eval.write_result_txt(os.path.join(args.output, "result.txt"), cm)
+    ths, prec, rec = loops_eval.pr_curve(probs, y)
+    np.savetxt(os.path.join(args.output, "roc.csv"),
+               np.stack([ths, prec, rec], 1), delimiter=",",
+               header="threshold,precision,recall")
+    print(json.dumps(dict(samples=int(len(y)), **cm.as_dict())))
+    return 0
+
+
+def cmd_train_loop(args, overrides: List[str]) -> int:
+    """Loop-verification classifier training (loopclosure.h:199-227): fit on
+    a loop.csv (features + GT labels) or a ``y,odom,sc,align`` data file."""
+    import jax.numpy as jnp
+
+    from ..eval import loops as loops_eval
+    from ..ops import logistic
+
+    if args.loop_csv:
+        rows = loops_eval.read_loop_csv(args.loop_csv)
+        x = np.asarray([[r["odom_bounds"], r["sc_sim"],
+                         r["alignment_quality"]] for r in rows], np.float32)
+        y = np.asarray([r["is_loop"] for r in rows], np.float32)
+    else:
+        data = np.loadtxt(args.data, delimiter=",")
+        y = data[:, 0].astype(np.float32)
+        x = data[:, 1:4].astype(np.float32)
+    model = logistic.fit(jnp.asarray(x), jnp.asarray(y), balanced=False)
+    os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+    logistic.save_coefficients(model, args.output)
+    probs = np.asarray(logistic.predict_proba(model, jnp.asarray(x)))
+    cm = loops_eval.classifier_metrics(probs, y)
+    print(json.dumps(dict(samples=int(len(y)), **cm.as_dict())))
+    return 0
+
+
+def cmd_baseline(args, overrides: List[str]) -> int:
+    """Aggregate sweep results into Tab I/II-style tables (1_baseline)."""
+    from ..eval import baseline
+
+    report = baseline.write_baseline(
+        args.root, args.output or os.path.join(args.root, "baseline.txt"))
+    print(report)
     return 0
 
 
@@ -220,6 +318,23 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--est", required=True)
     p.add_argument("--output", default=None)
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("train-alignment")
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--max-frames", type=int, default=0)
+    p.set_defaults(fn=cmd_train_alignment)
+
+    p = sub.add_parser("train-loop")
+    p.add_argument("--loop-csv", default=None)
+    p.add_argument("--data", default=None)
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=cmd_train_loop)
+
+    p = sub.add_parser("baseline")
+    p.add_argument("--root", required=True)
+    p.add_argument("--output", default=None)
+    p.set_defaults(fn=cmd_baseline)
 
     p = sub.add_parser("sweep")
     p.add_argument("--par-file", required=True)

@@ -70,3 +70,53 @@ def test_sweep_two_jobs(tmp_path):
     assert os.path.exists(os.path.join(out, "merged.csv"))
     assert results[0]["pars"] == "radar.k_strongest=4"
     assert results[1]["pars"] == "radar.k_strongest=6"
+
+
+def test_train_alignment_cli(tmp_path, capsys):
+    out = str(tmp_path / "train")
+    rc = cli.main(["train-alignment", "--dataset", "sim:50:2",
+                   "--output", out] + FAST)
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "trained_alignment_classifier.txt"))
+    assert os.path.exists(os.path.join(out, "roc.csv"))
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["samples"] >= 13
+    assert m["accuracy"] > 0.6  # separates aligned from perturbed
+
+
+def test_train_loop_cli(tmp_path, capsys):
+    # synthetic tbv_model-style data: y depends on the features
+    rng = np.random.default_rng(0)
+    n = 500
+    y = (rng.uniform(size=n) < 0.4).astype(float)
+    odom = np.where(y > 0, 0.1, 0.7) + rng.normal(0, 0.05, n)
+    sc = np.where(y > 0, 0.25, 0.6) + rng.normal(0, 0.05, n)
+    align = np.where(y > 0, 2.0, -1.0) + rng.normal(0, 0.5, n)
+    data = tmp_path / "train.txt"
+    np.savetxt(data, np.stack([y, odom, sc, align], 1), delimiter=",")
+    out = str(tmp_path / "trained_loop_classifier.txt")
+    rc = cli.main(["train-loop", "--data", str(data), "--output", out])
+    assert rc == 0
+    assert os.path.exists(out)
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["accuracy"] > 0.9
+
+
+def test_baseline_aggregation(tmp_path):
+    from tbv_slam_public_tpu.eval import kitti as kt
+    # fabricate two job dirs with result.txt
+    for j, ate in enumerate([4.0, 3.5]):
+        d = tmp_path / f"job_{j}" / "est"
+        d.mkdir(parents=True)
+        m = kt.OdometryMetrics(
+            trans_err_pct=1.1 + j * 0.1, rot_err_deg_per_100m=0.35, ate=ate,
+            ate_rmse=ate, rpe_trans=0.07, rpe_trans_dev=0.05, rpe_rot=0.001,
+            rpe_rot_dev=0.001, bias_x=0, bias_y=0, bias_theta=0,
+            rmse_rpe=0.09, num_segments=100)
+        kt.write_result(str(d / "result.txt"), j, m)
+    from tbv_slam_public_tpu.eval import baseline
+    report = baseline.write_baseline(str(tmp_path),
+                                     str(tmp_path / "baseline.txt"))
+    assert "job_0" in report and "job_1" in report
+    assert "mean" in report and "3.750" in report  # mean ATE
+    assert os.path.exists(tmp_path / "baseline.txt")
