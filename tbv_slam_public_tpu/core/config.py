@@ -169,6 +169,7 @@ class PGOConfig:
     loop_scaling: float = 500000.0
     replace_cov_by_identity: bool = True
     cauchy_scale: float = 0.1  # Cauchy loss on loop edges
+    lago_init: bool = True  # two-stage linear (rotation/position) init
     max_iterations: int = 64
     function_tolerance: float = 1e-7  # Ceres-style early exit on rel decrease
     cg_iterations: int = 100

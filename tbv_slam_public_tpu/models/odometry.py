@@ -169,6 +169,27 @@ def odometry_step(state: OdometryState, image: jnp.ndarray, cfg: TBVConfig):
     return state, out
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def batched_first_frame(states, images, cfg: TBVConfig):
+    """Vmapped frame 0 over a batch of sequences."""
+    return jax.vmap(lambda s, i: first_frame(s, i, cfg))(states, images)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def batched_odometry_step(states, images, cfg: TBVConfig):
+    """One odometry frame for B sequences at once (SURVEY §7.1: "multiple
+    sequences batch data-parallel").  The per-frame dependency is sequential
+    per sequence, but across sequences everything batches — on TPU the
+    registration/feature kernels then run at batch-B occupancy instead of
+    latency-bound batch-1."""
+    return jax.vmap(lambda s, i: odometry_step(s, i, cfg))(states, images)
+
+
+def init_batched_state(cfg: TBVConfig, batch: int) -> OdometryState:
+    one = init_state(cfg)
+    return jax.tree.map(lambda x: jnp.stack([x] * batch), one)
+
+
 class OdometryPipeline:
     """Host-side driver: feeds images, collects keyframes and constraints.
 

@@ -243,6 +243,60 @@ def _pcg_solve(b, edges, w, Jb, Je, diag_blocks, gauge_mask, lam, iters, tol):
     return x
 
 
+def _lago_initialize(poses, gauge_mask, edges: GraphEdges):
+    """Two-stage linear initialization (LAGO-style, Carlone et al.):
+
+    1. orientation: linear LS on angle corrections d (residual
+       wrap(th_e - th_b - m) + d_e - d_b), a graph-Laplacian solve;
+    2. position: with orientations fixed, p_e - p_b = R(th_b) m_xy is LINEAR
+       in positions — a second Laplacian solve with 2 right-hand sides.
+
+    Both Laplacians are assembled as one-hot matmuls (MXU) and factorized
+    densely; the subsequent LM then starts near the basin and converges in a
+    handful of iterations instead of tens.  Loop edges participate with
+    their (heavily down-scaled, ceresoptimizer.cpp:83-100) weights, so a
+    stray outlier cannot dominate the init.
+    """
+    n = poses.shape[0]
+    ub, ue = _incidence(edges, n, poses.dtype)
+    d_inc = ue - ub  # [E, N]
+    free = gauge_mask.astype(poses.dtype)
+
+    def laplacian_solve(w, rhs_edge):
+        """Solve (d_inc^T W d_inc) x = d_inc^T (w * rhs_edge) with gauge."""
+        lap = d_inc.T @ (w[:, None] * d_inc)  # [N, N]
+        keep = free[:, None] * free[None, :]
+        lap = lap * keep + jnp.diag(1.0 - free)
+        rhs = d_inc.T @ (w[:, None] * rhs_edge) * free[:, None]
+        cl = jax.scipy.linalg.cho_factor(lap + 1e-6 * jnp.eye(n))
+        return jax.scipy.linalg.cho_solve(cl, rhs)
+
+    # 1) orientations
+    w_th = jnp.where(edges.mask, edges.sqrt_info[:, 2] ** 2, 0.0)
+    pb = poses[edges.idx[:, 0]]
+    pe = poses[edges.idx[:, 1]]
+    r_th = se2.wrap_angle(pe[:, 2] - pb[:, 2] - edges.meas[:, 2])
+    delta = laplacian_solve(w_th, -r_th[:, None])[:, 0]
+    theta = se2.wrap_angle(poses[:, 2] + delta)
+
+    # 2) positions given orientations
+    c, s = jnp.cos(theta[edges.idx[:, 0]]), jnp.sin(theta[edges.idx[:, 0]])
+    dx = c * edges.meas[:, 0] - s * edges.meas[:, 1]
+    dy = s * edges.meas[:, 0] + c * edges.meas[:, 1]
+    w_xy = jnp.where(edges.mask,
+                     0.5 * (edges.sqrt_info[:, 0] ** 2
+                            + edges.sqrt_info[:, 1] ** 2), 0.0)
+    # residual (p_e - p_b) - d must also account for the FIXED node-0
+    # position entering the rhs: fold p0 contributions in via the current p.
+    cur = poses[:, :2]
+    rhs = jnp.stack([dx, dy], -1) - (cur[edges.idx[:, 1]] - cur[edges.idx[:, 0]])
+    dp = laplacian_solve(w_xy, rhs)
+    p = cur + dp
+
+    out = jnp.concatenate([p, theta[:, None]], axis=1)
+    return jnp.where(gauge_mask[:, None], out, poses)
+
+
 @partial(jax.jit, static_argnames=("cfg", "solver"))
 def optimize(
     poses: jnp.ndarray,  # [N, 3]
@@ -261,6 +315,13 @@ def optimize(
     gauge_mask = node_mask & (jnp.arange(n) != 0)
 
     cost0 = graph_cost(poses, edges, cfg)
+    cur0 = cost0
+    if cfg.lago_init:
+        cand = _lago_initialize(poses, gauge_mask, edges)
+        cand_cost = graph_cost(cand, edges, cfg)
+        better = cand_cost < cost0
+        poses = jnp.where(better, cand, poses)
+        cur0 = jnp.where(better, cand_cost, cost0)
 
     def cond(state):
         _, _, _, _, itr, done = state
@@ -299,7 +360,7 @@ def optimize(
         accepted = accepted + accept.astype(jnp.int32)
         return p, lam, cur, accepted, itr + 1, done
 
-    state = (poses, jnp.asarray(cfg.init_lambda, poses.dtype), cost0,
+    state = (poses, jnp.asarray(cfg.init_lambda, poses.dtype), cur0,
              jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
              jnp.asarray(False))
     p, _, cost, iters, _, _ = jax.lax.while_loop(cond, body, state)

@@ -76,3 +76,44 @@ def test_keyframe_gate_blocks_stationary():
     # the platform never moves -> only the seed keyframe exists
     assert len(pipe.kf_poses) == 1
     assert np.linalg.norm(np.asarray(out.pose)[:2]) < 0.2
+
+
+def test_batched_odometry_matches_single(seq):
+    """B sequences in one vmapped step must produce the same trajectories as
+    running each alone."""
+    import jax
+    import jax.numpy as jnp
+    from tbv_slam_public_tpu.models import odometry as om
+
+    cfg = small_config()
+    n = 12
+    # two different sequences: the fixture and a shifted start
+    seq2 = simulate.make_sequence(
+        num_frames=n, seed=9, num_azimuths=200, num_range_bins=256,
+        range_res=0.3, traj_kwargs=dict(radius=35.0, step=0.6, laps=0.1))
+    imgs = [seq.images[:n], seq2.images[:n]]
+
+    # single-sequence references
+    singles = []
+    for im in imgs:
+        st = om.init_state(cfg)
+        st, _ = om.first_frame(st, jnp.asarray(im[0]), cfg)
+        poses = [np.zeros(3)]
+        for k in range(1, n):
+            st, out = om.odometry_step(st, jnp.asarray(im[k]), cfg)
+            poses.append(np.asarray(out.pose))
+        singles.append(np.stack(poses))
+
+    # batched
+    bstate = om.init_batched_state(cfg, 2)
+    batch_imgs = jnp.stack([jnp.asarray(im[0]) for im in imgs])
+    bstate, _ = om.batched_first_frame(bstate, batch_imgs, cfg)
+    bposes = [np.zeros((2, 3))]
+    for k in range(1, n):
+        batch_imgs = jnp.stack([jnp.asarray(im[k]) for im in imgs])
+        bstate, bout = om.batched_odometry_step(bstate, batch_imgs, cfg)
+        bposes.append(np.asarray(bout.pose))
+    bposes = np.stack(bposes, axis=1)  # [2, n, 3]
+
+    for b in range(2):
+        np.testing.assert_allclose(bposes[b], singles[b], atol=1e-4)
