@@ -99,6 +99,15 @@ def main():
     odom_ms = _timeit(
         lambda: odometry.odometry_step(state, image, cfg)[1].pose) * 1e3
 
+    # ---- stage 1b: batched multi-sequence odometry -----------------------
+    b_seq = 8 if args.small else 16
+    bstate = jax.tree.map(lambda x: jnp.stack([x] * b_seq), state)
+    bimage = jnp.stack([image] * b_seq)
+    bodom_ms = _timeit(
+        lambda: odometry.batched_odometry_step(bstate, bimage, cfg)[1].pose
+    ) * 1e3
+    odom_fps_batched = b_seq / (bodom_ms / 1e3)
+
     # ---- stage 2: batched loop candidate register+verify -----------------
     _, _, q_peaks, q_cells = scan_at([0.0, 0.0, 0.0])
     cands = [scan_at([2.0 * (i % 5), 1.5 * (i % 3), 0.1 * i])
@@ -157,6 +166,8 @@ def main():
         "extra": {
             "odometry_step_ms": round(odom_ms, 2),
             "odometry_vs_realtime": round(BASE_ODOM_MS / odom_ms, 2),
+            "odometry_frames_per_s_batched": round(odom_fps_batched, 1),
+            "odometry_batch": b_seq,
             "pgo_1024node_ms": round(pgo_ms, 2),
             "pgo_vs_baseline": round(BASE_PGO_MS / pgo_ms, 2),
             "candidate_batch": batch,

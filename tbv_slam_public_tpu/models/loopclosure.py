@@ -290,6 +290,16 @@ class LoopCloser:
 
     # -- keyframe ingestion ------------------------------------------------
     def add_keyframe(self, peaks, cells, odom_pose: np.ndarray) -> None:
+        # Bound verification cost: peaks clouds are padded to the full
+        # k-strongest capacity (A*k, e.g. 16000 at the published k=40), but
+        # axial-NMS peaks are sparse — keep the strongest peaks_capacity so
+        # the CorAl interaction stays O(peaks_capacity^2).
+        cap = self.cfg.verification.peaks_capacity
+        if peaks.xy.shape[-2] > cap:
+            from ..ops import coral
+
+            peaks = jax.tree.map(np.asarray, coral.compact_cloud(
+                jax.tree.map(jnp.asarray, peaks), cap))
         self.kf_peaks.append(peaks)
         self.kf_cells.append(cells)
         self.kf_odom.append(np.asarray(odom_pose, np.float32))
