@@ -34,12 +34,28 @@ def _timeit(fn, iters=10):
     return (time.perf_counter() - t0) / iters
 
 
+def _enable_compile_cache():
+    import os
+
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true", help="CPU smoke-test shapes")
     ap.add_argument("--batch", type=int, default=32, help="candidate batch")
     args = ap.parse_args()
 
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
 

@@ -262,6 +262,50 @@ def cmd_train_loop(args, overrides: List[str]) -> int:
     return 0
 
 
+def cmd_evaluate_scans(args, overrides: List[str]) -> int:
+    """Perturbation-sweep scan evaluator (the coral scanEvaluator,
+    ScanEvaluator.h:53-124): sweep offsets over consecutive keyframe pairs
+    from a checkpoint, dump per-sample alignment features to CSV for
+    separability analysis."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..io import checkpoint
+    from ..models import verification as verif
+
+    g = checkpoint.load_simple_graph(args.graph)
+    cfg = _build_cfg(dict(num_azimuths=400, num_range_bins=3768,
+                          range_res=0.0438), overrides)
+    os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+
+    offsets = np.linspace(-args.range_max, args.range_max, args.range_steps)
+    thetas = np.radians(np.linspace(-args.theta_max_deg, args.theta_max_deg,
+                                    args.theta_steps))
+    perts = np.asarray([[dx, dy, th] for dx in offsets for dy in offsets
+                        for th in thetas], np.float32)
+
+    take = lambda tree, i: jax.tree.map(lambda x: jnp.asarray(x[i]), tree)
+    rows = []
+    n_pairs = min(g.num_keyframes - 1, args.max_pairs)
+    for i in range(n_pairs):
+        x, y = verif.perturbed_training_features(
+            take(g.peaks, i + 1), take(g.cells, i + 1),
+            jnp.asarray(g.kf_poses[i + 1]),
+            take(g.peaks, i), take(g.cells, i), jnp.asarray(g.kf_poses[i]),
+            jnp.asarray(perts), cfg.verification)
+        x = np.asarray(x)
+        for k in range(len(perts)):
+            rows.append([i, *perts[k], float(np.asarray(y)[k]), *x[k]])
+
+    header = ("pair,dx,dy,dtheta,aligned,"
+              "coral_joint,coral_sep,coral_overlap,"
+              "cfear_score,cfear_nres,cfear_size")
+    np.savetxt(args.output, np.asarray(rows), delimiter=",", header=header,
+               comments="")
+    print(json.dumps(dict(pairs=n_pairs, samples=len(rows))))
+    return 0
+
+
 def cmd_baseline(args, overrides: List[str]) -> int:
     """Aggregate sweep results into Tab I/II-style tables (1_baseline)."""
     from ..eval import baseline
@@ -335,6 +379,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--root", required=True)
     p.add_argument("--output", default=None)
     p.set_defaults(fn=cmd_baseline)
+
+    p = sub.add_parser("evaluate-scans")
+    p.add_argument("--graph", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--range-max", type=float, default=1.0)
+    p.add_argument("--range-steps", type=int, default=3)
+    p.add_argument("--theta-max-deg", type=float, default=2.0)
+    p.add_argument("--theta-steps", type=int, default=3)
+    p.add_argument("--max-pairs", type=int, default=50)
+    p.set_defaults(fn=cmd_evaluate_scans)
 
     p = sub.add_parser("sweep")
     p.add_argument("--par-file", required=True)

@@ -120,3 +120,19 @@ def test_baseline_aggregation(tmp_path):
     assert "job_0" in report and "job_1" in report
     assert "mean" in report and "3.750" in report  # mean ATE
     assert os.path.exists(tmp_path / "baseline.txt")
+
+
+def test_evaluate_scans_cli(odometry_out, tmp_path, capsys):
+    out = str(tmp_path / "scan_eval.csv")
+    rc = cli.main(["evaluate-scans", "--graph",
+                   os.path.join(odometry_out, "simple_graph.npz"),
+                   "--output", out, "--max-pairs", "3"] + FAST)
+    assert rc == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["pairs"] == 3
+    rows = np.loadtxt(out, delimiter=",", skiprows=1)
+    assert rows.shape[0] == m["samples"]
+    assert rows.shape[1] == 11
+    # the aligned sample (dx=dy=dtheta=0) must exist in each pair
+    aligned = rows[rows[:, 4] > 0.5]
+    assert len(aligned) == 3
