@@ -187,6 +187,66 @@ class CandidateResult(struct.PyTreeNode):
     valid: jnp.ndarray  # [K] bool
 
 
+def _loop_registration_cfg(cfg: TBVConfig):
+    lc = cfg.loopclosure
+    rcfg = cfg.registration
+    import dataclasses
+
+    return dataclasses.replace(
+        rcfg, cost="P2L",
+        max_outer_iterations=lc.registration_max_outer,
+        min_outer_iterations=1,
+        max_inner_iterations=lc.registration_max_inner)
+
+
+def _pair_register_verify(q_cells, q_peaks, c_cells, c_peaks, taug, yaw,
+                          align_model, cfg: TBVConfig):
+    """One (query, candidate) pair: P2L registration from the SC guess, then
+    CorAl+CFEAR alignment features at the registered relative pose.
+
+    Returns (t_be [3], reg_score, reg_ok, align_quality)."""
+    loop_rcfg = _loop_registration_cfg(cfg)
+    rot = jnp.stack([jnp.zeros_like(yaw), jnp.zeros_like(yaw), yaw], -1)
+    guess = se2.compose(se2.inverse(taug), rot)
+    tgt = jax.tree.map(lambda x: x[None], c_cells)
+    res = reg_op.register_window(
+        q_cells, jnp.zeros(3, jnp.float32), tgt, guess[None],
+        jnp.ones(1, bool), loop_rcfg)
+    t_be = se2.relative(res.pose, guess)
+    x6 = verif.alignment_features(
+        q_peaks, q_cells, jnp.zeros(3, jnp.float32),
+        c_peaks, c_cells, t_be, cfg.verification)
+    align_q = logistic.predict_linear(align_model, x6)
+    return t_be, res.score, res.success, align_q
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def register_and_verify_pairs(
+    q_cells: Cells, q_peaks: PointCloud,  # stacked [M, ...]
+    c_cells: Cells, c_peaks: PointCloud,  # stacked [M, ...]
+    taug: jnp.ndarray, yaw: jnp.ndarray,  # [M, 3], [M]
+    sc_sim: jnp.ndarray, odom_bounds: jnp.ndarray, pair_valid: jnp.ndarray,
+    align_model: logistic.LogisticModel,
+    loop_model: logistic.LogisticModel,
+    cfg: TBVConfig,
+) -> "CandidateResult":
+    """Flat batched loop-pair registration + verification: every element has
+    its OWN query — the offline wave form (sequential candidate loop
+    loopclosure.cpp:621-733 becomes one vmapped program; shard the M axis
+    across chips for multi-chip sweeps)."""
+    t_be, score, reg_ok, align_q = jax.vmap(
+        lambda a, b, c, d, e, f: _pair_register_verify(
+            a, b, c, d, e, f, align_model, cfg)
+    )(q_cells, q_peaks, c_cells, c_peaks, taug, yaw)
+    x = jnp.stack([odom_bounds, sc_sim, align_q], axis=-1)
+    prob = logistic.predict_proba(loop_model, x)
+    ok = pair_valid & reg_ok
+    return CandidateResult(
+        t_be=t_be, prob=jnp.where(ok, prob, 0.0), sc_sim=sc_sim,
+        odom_bounds=odom_bounds, align_quality=align_q, reg_score=score,
+        reg_ok=reg_ok, valid=ok)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def register_and_verify(
     q_cells: Cells, q_peaks: PointCloud,
@@ -359,6 +419,132 @@ class LoopCloser:
             out.extend(self._process_one(self._processed))
             self._processed += 1
         return out
+
+    def process_all_batched(self, detect_chunk: int = 256,
+                            pair_chunk: int = 64) -> List[LoopConstraint]:
+        """Offline wave mode: ALL keyframes' loop closure as batched device
+        programs (the TPU-native form of tbv_slam_offline's sequential
+        candidate loop, loopclosure.cpp:593-745).
+
+        Offline, every descriptor exists up-front and retrieval is causal by
+        construction (detect masks to idx < cur_slot - exclusion), so
+
+        1. all contexts are built and inserted,
+        2. detect() runs vmapped over query waves,
+        3. all (query, candidate) pairs register+verify as flat batched
+           waves (register_and_verify_pairs — shard the pair axis across
+           chips via parallel.candidates for multi-chip),
+        4. acceptance applies per query in order.
+
+        Produces the same constraints as the sequential path (ties in the
+        dedup order aside).  Requires all keyframes added; consumes the
+        remaining unprocessed range.
+        """
+        n = len(self.kf_odom)
+        if self._processed >= n:
+            return []
+        cfg = self.cfg
+        self._ensure_capacity(n)
+
+        start = self._processed
+        descs_np, rings_np, taug_np = [], [], []
+        for q in range(start, n):
+            local_map = self._aggregate_local_map(q)
+            descs, rings, taug = context_descriptors(local_map, cfg)
+            self.db = db_insert(self.db, jnp.asarray(q), descs[0], rings[0],
+                                jnp.asarray(self.kf_odom[q]))
+            descs_np.append(np.asarray(descs))
+            rings_np.append(np.asarray(rings))
+            taug_np.append(np.asarray(taug))
+
+        # 2) batched detection over query waves
+        if getattr(self, "_detect_v", None) is None:
+            self._detect_v = jax.jit(jax.vmap(
+                lambda db, d, r, s: detect(db, d, r, s, cfg),
+                in_axes=(None, 0, 0, 0)))
+        detect_v = self._detect_v
+        dets = []
+        total = n - start
+        for lo in range(0, total, detect_chunk):
+            hi = min(lo + detect_chunk, total)
+            m = hi - lo
+            pad = detect_chunk - m if total > detect_chunk else 0
+            take = lambda arrs: np.stack(arrs[lo:hi] + [arrs[hi - 1]] * pad)
+            d = detect_v(self.db,
+                         jnp.asarray(take(descs_np)),
+                         jnp.asarray(take(rings_np)),
+                         jnp.concatenate([
+                             jnp.arange(start + lo, start + hi),
+                             jnp.full((pad,), start + hi - 1, jnp.int32)]))
+            d = jax.tree.map(lambda x: np.asarray(x)[:m], d)
+            dets.append(d)
+        det = jax.tree.map(lambda *x: np.concatenate(x), *dets)
+
+        # 3) flatten valid pairs -> chunked flat register+verify
+        pairs = []  # (query, k-slot)
+        for qi in range(n - start):
+            for k in range(cfg.scancontext.n_candidates):
+                if det.valid[qi, k]:
+                    pairs.append((qi, k))
+        results = {}
+        stack_tree = lambda items: jax.tree.map(
+            lambda *x: jnp.stack(x), *items)
+        for lo in range(0, len(pairs), pair_chunk):
+            sel = pairs[lo: lo + pair_chunk]
+            n_real = len(sel)
+            if len(pairs) > pair_chunk and n_real < pair_chunk:
+                sel = sel + [sel[-1]] * (pair_chunk - n_real)
+            q_cells = stack_tree([self.kf_cells[start + qi] for qi, _ in sel])
+            q_peaks = stack_tree([self.kf_peaks[start + qi] for qi, _ in sel])
+            c_cells = stack_tree(
+                [self.kf_cells[int(det.index[qi, k])] for qi, k in sel])
+            c_peaks = stack_tree(
+                [self.kf_peaks[int(det.index[qi, k])] for qi, k in sel])
+            taug = jnp.asarray(np.stack(
+                [taug_np[qi][det.aug[qi, k]] for qi, k in sel]))
+            yaw = jnp.asarray([det.yaw[qi, k] for qi, k in sel])
+            sc_sim = jnp.asarray(
+                [det.dist_sc[qi, k] + det.dist_odom[qi, k] for qi, k in sel],
+                jnp.float32)
+            odom_b = jnp.asarray([det.dist_odom[qi, k] for qi, k in sel],
+                                 jnp.float32)
+            res = register_and_verify_pairs(
+                q_cells, q_peaks, c_cells, c_peaks, taug, yaw, sc_sim,
+                odom_b, jnp.ones((len(sel),), bool), self.align_model,
+                self.loop_model, cfg)
+            res = jax.tree.map(np.asarray, res)
+            for i, (qi, k) in enumerate(sel[:n_real]):
+                results[(qi, k)] = jax.tree.map(lambda x: x[i], res)
+
+        # 4) per-query acceptance in order (ApplyConstratins semantics)
+        accepted: List[LoopConstraint] = []
+        for qi in range(n - start):
+            cand = [(k, results[(qi, k)]) for k in
+                    range(cfg.scancontext.n_candidates) if (qi, k) in results]
+            for k, r in cand:
+                self.candidate_log.append(dict(
+                    id_from=start + qi, id_to=int(det.index[qi, k]),
+                    prob=float(r.prob), sc_sim=float(r.sc_sim),
+                    odom_bounds=float(r.odom_bounds),
+                    alignment_quality=float(r.align_quality),
+                    t_be=np.asarray(r.t_be).tolist(), guess_nr=int(k),
+                    reg_ok=bool(r.reg_ok)))
+            cand.sort(key=lambda kr: -float(kr[1].prob))
+            sel = cand if cfg.verification.all_candidates else cand[:1]
+            for k, r in sel:
+                if bool(r.valid) and \
+                        float(r.prob) > cfg.verification.model_threshold:
+                    c = LoopConstraint(
+                        id_from=start + qi, id_to=int(det.index[qi, k]),
+                        t_be=np.asarray(r.t_be), prob=float(r.prob),
+                        quality=dict(
+                            sc_sim=float(r.sc_sim),
+                            odom_bounds=float(r.odom_bounds),
+                            alignment_quality=float(r.align_quality)))
+                    self.constraints.append(c)
+                    accepted.append(c)
+        self._processed = n
+        return accepted
 
     def _process_one(self, q: int) -> List[LoopConstraint]:
         cfg = self.cfg

@@ -149,12 +149,18 @@ class SLAMSummary:
     metrics: Optional[Dict[str, float]]
 
 
-def run_offline_slam(cfg: TBVConfig, simple_graph,
-                     solver: str = "cholesky") -> "TBVSLAM":
+def run_offline_slam(cfg: TBVConfig, simple_graph, solver: str = "cholesky",
+                     batched: bool = True) -> "TBVSLAM":
     """SLAM from an odometry-stage checkpoint (the tbv_slam_offline path:
     load simple_graph -> loop closure to exhaustion -> one optimization,
     tbv_slam_offline.cpp:215-356).  Returns the populated TBVSLAM; call
-    ``.finish()`` happened internally — read ``.summary``."""
+    ``.finish()`` happened internally — read ``.summary``.
+
+    ``batched=True`` runs loop closure in offline wave mode: all retrievals
+    and all candidate registrations as batched device programs
+    (LoopCloser.process_all_batched) instead of the per-keyframe host loop —
+    same constraints, far better accelerator occupancy.
+    """
     import jax.numpy as jnp
 
     slam = TBVSLAM(cfg)
@@ -168,6 +174,10 @@ def run_offline_slam(cfg: TBVConfig, simple_graph,
                                 g.kf_poses[i])
     for idx, meas in zip(g.constraints_idx, g.constraints_meas):
         slam.graph.add_odometry_constraint(int(idx[0]), int(idx[1]), meas)
+    if batched:
+        with timing.timer("loop_wave_batched"):
+            for lc in slam.loops.process_all_batched():
+                slam.graph.add_loop_constraint(lc)
     slam.summary = slam.finish(optimize=True, solver=solver)
     return slam
 

@@ -113,24 +113,38 @@ def sc_distance(query: jnp.ndarray, candidate: jnp.ndarray,
 
     Reproduces distanceBtnScanContext (Scancontext.cpp:157-189): sector-key
     fast alignment picks a center shift; the column-wise cosine distance is
-    evaluated on shifts within +-round(0.5*ratio*S) of it.  We compute all
-    shifts batched and mask — identical result, MXU-shaped.
+    evaluated on shifts within +-round(0.5*ratio*S) of it.
+
+    MXU form: the per-shift column dot products are all entries of ONE
+    [S, S] Gram matrix G = query^T @ candidate gathered along circular
+    diagonals — no [S, R, S] shifted-copy tensor is ever materialized, so
+    this stays cheap under vmap over (queries x augments x candidates) in
+    the batched offline wave.
     """
     s = query.shape[-1]
     vq = sector_key(query)
     vc = sector_key(candidate)
-    # fastAlignUsingVkey: argmin_shift of |vq - circshift(vc, shift)|
-    shifts = all_column_shifts(vc[None, :])[:, 0, :]  # [S, S] rows=shifted vc
-    vdiff = jnp.linalg.norm(vq[None, :] - shifts, axis=-1)
-    center = jnp.argmin(vdiff)
+    cols = jnp.arange(s)
+    # src column of the shifted candidate at (shift, col): (col - shift) % S
+    src = jnp.mod(cols[None, :] - cols[:, None], s)  # [shift, col]
+
+    # fastAlignUsingVkey: argmin_shift |vq - circshift(vc, shift)|
+    vdiff2 = jnp.sum((vq[None, :] - vc[src]) ** 2, axis=-1)
+    center = jnp.argmin(vdiff2)
+
+    # distDirectSC over all shifts from the Gram matrix
+    g = query.T @ candidate  # [S(cols_q), S(cols_c)]
+    dot = g[cols[None, :], src]  # [shift, col] = sum_r q[r,col] c[r,col-s]
+    qn = jnp.linalg.norm(query, axis=0)  # [S]
+    cn = jnp.linalg.norm(candidate, axis=0)[src]  # [shift, col]
+    eff = (qn[None, :] > 0) & (cn > 0)
+    sim = jnp.where(eff, dot / jnp.maximum(qn[None, :] * cn, 1e-20), 0.0)
+    num_eff = jnp.maximum(jnp.sum(eff, axis=-1), 1)
+    dists = 1.0 - jnp.sum(sim, axis=-1) / num_eff  # [shift]
 
     radius = int(round(0.5 * search_ratio * s))
-    cand_shifted = all_column_shifts(candidate)  # [S, R, S]
-    dists = _dist_direct_batched(query, cand_shifted)  # [S]
-    offs = jnp.arange(s)
-    circ = jnp.minimum(jnp.mod(offs - center, s), jnp.mod(center - offs, s))
-    allowed = circ <= radius
-    masked = jnp.where(allowed, dists, jnp.inf)
+    circ = jnp.minimum(jnp.mod(cols - center, s), jnp.mod(center - cols, s))
+    masked = jnp.where(circ <= radius, dists, jnp.inf)
     best = jnp.argmin(masked)
     return masked[best], best
 

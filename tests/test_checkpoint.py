@@ -71,3 +71,27 @@ def test_full_graph_roundtrip(tmp_path, odometry_run):
     assert g2.num_loops() == slam.graph.num_loops()
     np.testing.assert_allclose(g2.poses_array(), slam.graph.poses_array(),
                                atol=1e-5)
+
+
+def test_batched_wave_equals_sequential(odometry_run):
+    """Offline wave mode (process_all_batched) must accept the same loop
+    constraints as the per-keyframe sequential path."""
+    cfg, pipe = odometry_run
+    g = checkpoint.from_odometry(pipe)
+
+    seq = run_offline_slam(cfg, g, batched=False)
+    bat = run_offline_slam(cfg, g, batched=True)
+
+    def key(c):
+        return (c["idx"], c["etype"])
+
+    seq_loops = sorted([key(e) for e in seq.graph.edges if e["etype"] != 0])
+    bat_loops = sorted([key(e) for e in bat.graph.edges if e["etype"] != 0])
+    assert bat_loops == seq_loops and len(bat_loops) >= 1
+    # identical relative poses for the shared constraints
+    seq_map = {key(e): e["meas"] for e in seq.graph.edges if e["etype"] != 0}
+    bat_map = {key(e): e["meas"] for e in bat.graph.edges if e["etype"] != 0}
+    for k in seq_map:
+        np.testing.assert_allclose(bat_map[k], seq_map[k], atol=1e-4)
+    # same number of evaluated candidates
+    assert len(bat.loops.candidate_log) == len(seq.loops.candidate_log)
