@@ -207,6 +207,38 @@ def cfear3_oxford() -> TBVConfig:
     )
 
 
+def tbv8_oxford() -> TBVConfig:
+    """TBV SLAM-8 Oxford run configuration (script/pars/par_oxford_tbv_8.csv:
+    N_CANDIDATES=1, augment + odometry-coupled retrieval, speedup on,
+    model_threshold 0.9) on top of the CFEAR-3 odometry."""
+    cfg = cfear3_oxford()
+    return dataclasses.replace(
+        cfg,
+        scancontext=dataclasses.replace(cfg.scancontext, n_candidates=1),
+        loopclosure=dataclasses.replace(cfg.loopclosure, speedup=True),
+    )
+
+
+def tbv8_mulran() -> TBVConfig:
+    """TBV SLAM-8 MulRan configuration (script/pars/mulran/
+    par_mulran_all_tbv_8.csv: N_CANDIDATES=3; sensor geometry 3360 bins at
+    0.05952 m, image rotated at ingestion — radar_driver.cpp:74-90)."""
+    cfg = cfear3_oxford()
+    return dataclasses.replace(
+        cfg,
+        radar=dataclasses.replace(cfg.radar, num_range_bins=3360,
+                                  range_res=0.05952),
+        scancontext=dataclasses.replace(cfg.scancontext, n_candidates=3),
+    )
+
+
+PRESETS = {
+    "cfear3_oxford": cfear3_oxford,
+    "tbv8_oxford": tbv8_oxford,
+    "tbv8_mulran": tbv8_mulran,
+}
+
+
 def _flatten(cfg: Any, prefix: str = "") -> Dict[str, Any]:
     out: Dict[str, Any] = {}
     for f in dataclasses.fields(cfg):

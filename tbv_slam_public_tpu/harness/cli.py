@@ -27,13 +27,31 @@ import numpy as np
 
 
 def _build_cfg(meta: dict, overrides: List[str]):
-    from ..core.config import (TBVConfig, RadarConfig, apply_overrides,
-                               parse_cli_overrides)
+    """Config from dataset meta + dotted overrides.  A leading
+    ``preset=<name>`` token starts from a published configuration
+    (core.config.PRESETS) instead of the defaults."""
+    import dataclasses
 
-    cfg = TBVConfig(radar=RadarConfig(
-        num_azimuths=meta["num_azimuths"],
-        num_range_bins=meta["num_range_bins"],
-        range_res=meta["range_res"]))
+    from ..core.config import (PRESETS, TBVConfig, RadarConfig,
+                               apply_overrides, parse_cli_overrides)
+
+    overrides = list(overrides or [])
+    preset = None
+    for tok in list(overrides):
+        if tok.startswith("preset="):
+            preset = tok.split("=", 1)[1]
+            overrides.remove(tok)
+    if preset:
+        cfg = PRESETS[preset]()
+        cfg = dataclasses.replace(cfg, radar=dataclasses.replace(
+            cfg.radar, num_azimuths=meta["num_azimuths"],
+            num_range_bins=meta["num_range_bins"],
+            range_res=meta["range_res"]))
+    else:
+        cfg = TBVConfig(radar=RadarConfig(
+            num_azimuths=meta["num_azimuths"],
+            num_range_bins=meta["num_range_bins"],
+            range_res=meta["range_res"]))
     if overrides:
         cfg = apply_overrides(cfg, parse_cli_overrides(overrides))
     return cfg

@@ -168,6 +168,10 @@ def detect(db: LoopDB, descs: jnp.ndarray, rings: jnp.ndarray,
     # RadarScancontext.cpp:326-345).
     kdist = jnp.where(jnp.isfinite(s_score[reorder]), flat.dist[pick], jnp.inf)
     valid = jnp.isfinite(kdist)
+    if cfg.loopclosure.speedup and sc.odometry_coupled_closure:
+        # speedup gate: odometry-implausible candidates skip registration
+        # and verification entirely (loopclosure.cpp:682-689).
+        valid = valid & (flat.dist_odom[pick] <= 0.7)
     return DetectResult(
         index=flat.index[pick], aug=aug_flat[pick], dist=kdist,
         dist_sc=flat.dist_sc[pick], dist_odom=flat.dist_odom[pick],
