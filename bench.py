@@ -49,10 +49,18 @@ def _enable_compile_cache():
         pass
 
 
+def _stage(msg):
+    import sys
+
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true", help="CPU smoke-test shapes")
     ap.add_argument("--batch", type=int, default=32, help="candidate batch")
+    ap.add_argument("--full", action="store_true",
+                    help="include the batched-odometry stage")
     args = ap.parse_args()
 
     _enable_compile_cache()
@@ -107,6 +115,7 @@ def main():
         return img, cloud, peaks_v, cells
 
     # ---- stage 1: odometry frame step ------------------------------------
+    _stage("stage 1: odometry step")
     state = odometry.init_state(cfg)
     img0, *_ = scan_at([0.0, 0.0, 0.0])
     img1, *_ = scan_at([1.0, 0.1, 0.01])
@@ -115,16 +124,20 @@ def main():
     odom_ms = _timeit(
         lambda: odometry.odometry_step(state, image, cfg)[1].pose) * 1e3
 
-    # ---- stage 1b: batched multi-sequence odometry -----------------------
+    # ---- stage 1b (--full): batched multi-sequence odometry --------------
+    odom_fps_batched = None
     b_seq = 8 if args.small else 16
-    bstate = jax.tree.map(lambda x: jnp.stack([x] * b_seq), state)
-    bimage = jnp.stack([image] * b_seq)
-    bodom_ms = _timeit(
-        lambda: odometry.batched_odometry_step(bstate, bimage, cfg)[1].pose
-    ) * 1e3
-    odom_fps_batched = b_seq / (bodom_ms / 1e3)
+    if args.full:
+        _stage("stage 1b: batched odometry")
+        bstate = jax.tree.map(lambda x: jnp.stack([x] * b_seq), state)
+        bimage = jnp.stack([image] * b_seq)
+        bodom_ms = _timeit(
+            lambda: odometry.batched_odometry_step(bstate, bimage, cfg)[1].pose
+        ) * 1e3
+        odom_fps_batched = b_seq / (bodom_ms / 1e3)
 
     # ---- stage 2: batched loop candidate register+verify -----------------
+    _stage("stage 2: candidate wave")
     _, _, q_peaks, q_cells = scan_at([0.0, 0.0, 0.0])
     cands = [scan_at([2.0 * (i % 5), 1.5 * (i % 3), 0.1 * i])
              for i in range(batch)]
@@ -146,6 +159,7 @@ def main():
     cands_per_s = batch / wave_s
 
     # ---- stage 3: pose-graph optimization --------------------------------
+    _stage("stage 3: pose-graph optimization")
     pgo_cfg = PGOConfig()
     poses = np.zeros((n_nodes, 3), np.float32)
     for i in range(1, n_nodes):
@@ -182,8 +196,8 @@ def main():
         "extra": {
             "odometry_step_ms": round(odom_ms, 2),
             "odometry_vs_realtime": round(BASE_ODOM_MS / odom_ms, 2),
-            "odometry_frames_per_s_batched": round(odom_fps_batched, 1),
-            "odometry_batch": b_seq,
+            **({"odometry_frames_per_s_batched": round(odom_fps_batched, 1),
+                "odometry_batch": b_seq} if odom_fps_batched else {}),
             "pgo_1024node_ms": round(pgo_ms, 2),
             "pgo_vs_baseline": round(BASE_PGO_MS / pgo_ms, 2),
             "candidate_batch": batch,

@@ -53,6 +53,16 @@ class Statistics:
     def reset(self) -> None:
         self._samples.clear()
 
+    @contextlib.contextmanager
+    def profile(self, trace_dir: str):
+        """jax.profiler trace around a region (SURVEY §5.1: the TPU-side
+        flamegraph complement to the named counters).  View with
+        ``tensorboard --logdir trace_dir`` or xprof."""
+        import jax
+
+        with jax.profiler.trace(trace_dir):
+            yield
+
 
 #: process-global instance, mirroring the reference singleton usage pattern.
 timing = Statistics()

@@ -116,3 +116,17 @@ def test_distributed_pgo_matches_single_device():
     err1 = np.linalg.norm(np.asarray(res_d.poses)[:n, :2] - gt[:, :2],
                           axis=1).mean()
     assert err1 < 0.5 * err0
+
+
+def test_multihost_helpers_single_process():
+    from tbv_slam_public_tpu.parallel import multihost
+
+    pid, n = multihost.process_info()
+    assert pid == 0 and n == 1
+    assert multihost.my_jobs(list(range(7))) == list(range(7))
+    assert multihost.all_hosts_sum(3.5) == 3.5
+    mesh = multihost.global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    rep = multihost.scaling_report(100, 10.0)
+    assert rep["frames_per_s"] == pytest.approx(10.0)
+    assert rep["hosts"] == 1
