@@ -171,7 +171,7 @@ class PGOConfig:
     cauchy_scale: float = 0.1  # Cauchy loss on loop edges
     lago_init: bool = True  # two-stage linear (rotation/position) init
     max_iterations: int = 64
-    function_tolerance: float = 1e-7  # Ceres-style early exit on rel decrease
+    function_tolerance: float = 1e-6  # Ceres default early exit on rel decrease
     cg_iterations: int = 100
     cg_tol: float = 1e-6
     init_lambda: float = 1e-6
