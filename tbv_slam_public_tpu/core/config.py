@@ -86,6 +86,9 @@ class OdometryConfig:
     compensate: bool = True
     radar_ccw: bool = False
     soft_constraint: bool = False
+    # RegisterTimeContinuous: per-cell velocity correction inside the solve
+    # instead of the up-front cloud compensation (n_scan_normal.cpp:67-80)
+    time_continuous: bool = False
     sensor_period: float = 0.25  # 4 Hz radar
     vel_limit: float = 200.0
     acc_limit: float = 200.0
@@ -157,6 +160,14 @@ class LoopClosureConfig:
     registration_max_inner: int = 10
     local_map_capacity: int = 4096  # padded local-map point capacity
     max_candidates_per_frame: int = 16  # static batch for candidate solves
+    # MiniClosure / GTVicinityClosure strategies
+    # (DerivedMiniClosureParameters, loopclosure.h:93-99)
+    miniclosure_enabled: bool = False
+    gt_vicinity_enabled: bool = False  # GT-based debug oracle
+    gt_loop: bool = False  # take constraints directly from GT (<5 m)
+    min_d_travel: float = 25.0
+    max_d_travel: float = 500.0
+    max_d_close: float = 15.0
 
 
 @dataclass(frozen=True)

@@ -102,6 +102,24 @@ def read_kitti(path: str) -> np.ndarray:
     return np.stack([rows[:, 0, 3], rows[:, 1, 3], yaw], axis=1)
 
 
+def write_cov(path: str, stamps: np.ndarray, covs: np.ndarray) -> None:
+    """Covariance file: per line ``stamp`` then the 6x6 covariance inline
+    (WriteCov, eval_trajectory.cpp:214-233).  Planar [N, 3, 3] covariances
+    are lifted to 6x6 with the (x, y, yaw) block placed at rows/cols
+    (0, 1, 5), matching the SE(3) ordering (x y z rx ry rz)."""
+    covs = np.asarray(covs)
+    with open(path, "w") as f:
+        for t, c in zip(stamps, covs):
+            if c.shape == (3, 3):
+                m = np.zeros((6, 6))
+                ix = np.asarray([0, 1, 5])
+                m[np.ix_(ix, ix)] = c
+            else:
+                m = c.reshape(6, 6)
+            f.write(f"{t:.9f} " + " ".join(str(v) for v in m.reshape(-1))
+                    + "\n")
+
+
 def write_tum(path: str, stamps: np.ndarray, poses: np.ndarray) -> None:
     """TUM format: stamp x y z qx qy qz qw (eval_trajectory.cpp:282-311)."""
     with open(path, "w") as f:

@@ -73,13 +73,17 @@ def _write_timing(outdir: str) -> None:
 
 def _export_trajectories(outdir: str, est: np.ndarray,
                          gt: Optional[np.ndarray], stamps, sub: str,
-                         seq: int = 0) -> dict:
+                         seq: int = 0, covs=None) -> dict:
     from ..eval import kitti, trajectory
 
     d = os.path.join(outdir, sub)
     os.makedirs(d, exist_ok=True)
     trajectory.write_kitti(os.path.join(d, "00.txt"), est)
     trajectory.write_tum(os.path.join(d, "00.tum"), np.asarray(stamps), est)
+    if covs is not None and len(covs) == len(est):
+        # cov_<seq>.txt (WriteCov, eval_trajectory.cpp:278-283)
+        trajectory.write_cov(os.path.join(d, "cov_00.txt"),
+                             np.asarray(stamps), np.asarray(covs))
     metrics = {}
     if gt is not None and len(gt) == len(est):
         trajectory.write_kitti(os.path.join(d, "00_gt.txt"), gt)
@@ -112,7 +116,7 @@ def cmd_odometry(args, overrides: List[str]) -> int:
     est = np.asarray(pipe.frame_poses)
     gt = np.stack(gts) if gts and all(g is not None for g in gts) else None
     metrics = _export_trajectories(args.output, est, gt, pipe.frame_stamps,
-                                   "odom")
+                                   "odom", covs=pipe.frame_covs)
     checkpoint.save_simple_graph(
         os.path.join(args.output, "simple_graph.npz"),
         checkpoint.from_odometry(pipe))
@@ -334,6 +338,37 @@ def cmd_baseline(args, overrides: List[str]) -> int:
     return 0
 
 
+def cmd_reoptimize(args, overrides: List[str]) -> int:
+    """Re-run PGO on a saved full graph with overridden weights.
+
+    The debug_optimizer / dynamic_reconfigure analogue
+    (tbv_slam_offline.cpp:289-330 + cfg/OptimizationParams.cfg): the
+    reference re-optimizes the loaded graph live whenever loop/odom
+    covariance scaling, loop_scaling or replace_cov_by_identity change.
+    Here each invocation applies ``pgo.*`` overrides (e.g.
+    ``pgo.loop_scaling=1e4``) and reports metrics before/after so parameter
+    effects can be compared across runs.
+    """
+    from ..io import checkpoint
+
+    cfg = _build_cfg(dict(num_azimuths=400, num_range_bins=3768,
+                          range_res=0.0438), overrides)
+    graph = checkpoint.load_full_graph(args.graph, cfg)
+    pre = graph.align_to_gt()
+    res = graph.optimize(solver=args.solver)
+    post = graph.align_to_gt()
+    if args.output:
+        os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+        checkpoint.save_full_graph(args.output, graph)
+    out = dict(cost0=float(res.cost0), cost=float(res.cost),
+               iterations=int(res.iterations))
+    if pre is not None:
+        out.update(ate_rmse_before=pre["ate_rmse"],
+                   ate_rmse_after=post["ate_rmse"])
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_eval(args, overrides: List[str]) -> int:
     from ..eval import kitti
 
@@ -374,6 +409,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--output", required=True)
     p.add_argument("--max-frames", type=int, default=0)
     p.set_defaults(fn=cmd_online)
+
+    p = sub.add_parser("reoptimize")
+    p.add_argument("--graph", required=True)
+    p.add_argument("--output", default=None)
+    p.add_argument("--solver", default="cholesky",
+                   choices=["cholesky", "cg"])
+    p.set_defaults(fn=cmd_reoptimize)
 
     p = sub.add_parser("eval")
     p.add_argument("--gt", required=True)

@@ -98,7 +98,7 @@ def odometry_step(state: OdometryState, image: jnp.ndarray, cfg: TBVConfig):
     ocfg = cfg.odometry
 
     cloud, peaks = radar.kstrongest_filter(image, cfg.radar)
-    if ocfg.compensate:
+    if ocfg.compensate and not ocfg.time_continuous:
         cloud = radar.motion_compensate(cloud, state.Tmot, ocfg.radar_ccw)
         peaks = radar.motion_compensate(peaks, state.Tmot, ocfg.radar_ccw)
     cells = features.compute_cells(cloud, cfg.features)
@@ -112,12 +112,22 @@ def odometry_step(state: OdometryState, image: jnp.ndarray, cfg: TBVConfig):
         prior = jnp.diag(jnp.asarray([10.0, 10.0, 31.6], jnp.float32))
     kf_cells0, kf_poses0, kf_mask0 = (
         state.kf_cells, state.kf_poses, state.kf_mask)
-    res = registration.register_window(
-        cells, Tguess, kf_cells0, kf_poses0, kf_mask0,
-        cfg.registration,
-        guess=Tguess if prior is not None else None,
-        guess_sqrt_info=prior,
-    )
+    if ocfg.time_continuous:
+        # RegisterTimeContinuous (n_scan_normal.cpp:67-80): per-cell velocity
+        # correction inside the P2P solve, velocity = previous motion.
+        res = registration.register_time_continuous(
+            cells, Tguess, kf_cells0, kf_poses0, kf_mask0,
+            cfg.registration, state.Tmot, ccw=ocfg.radar_ccw,
+            guess=Tguess if prior is not None else None,
+            guess_sqrt_info=prior,
+        )
+    else:
+        res = registration.register_window(
+            cells, Tguess, kf_cells0, kf_poses0, kf_mask0,
+            cfg.registration,
+            guess=Tguess if prior is not None else None,
+            guess_sqrt_info=prior,
+        )
     Tcurrent = jnp.where(res.success, res.pose, Tguess)
 
     # Acceleration/velocity sanity check (odometrykeyframefuser.cpp:76-94)
@@ -138,7 +148,12 @@ def odometry_step(state: OdometryState, image: jnp.ndarray, cfg: TBVConfig):
     ) if ocfg.use_keyframe else jnp.asarray(True)
     fuse = fuse & res.success
 
-    new_state = _push_keyframe(state, cells, Tcurrent)
+    store_cells = cells
+    if ocfg.time_continuous:
+        # keyframe window stores the undistorted (velocity-corrected) features
+        store_cells = registration.motion_correct_cells(
+            cells, state.Tmot, ocfg.radar_ccw)
+    new_state = _push_keyframe(state, store_cells, Tcurrent)
     state = jax.tree.map(
         lambda a, b: jnp.where(
             jnp.reshape(fuse, (1,) * a.ndim), a, b) if a.ndim else
@@ -153,7 +168,7 @@ def odometry_step(state: OdometryState, image: jnp.ndarray, cfg: TBVConfig):
     cov = res.cov
     if ocfg.use_sampled_covariance:
         cov_s, ok = registration.sampled_covariance(
-            cells, Tcurrent, kf_cells0, kf_poses0, kf_mask0,
+            store_cells, Tcurrent, kf_cells0, kf_poses0, kf_mask0,
             cfg.registration, res.score, res.num_residuals,
             xy_range=ocfg.cov_sampling_xy_range,
             yaw_range=ocfg.cov_sampling_yaw_range,
@@ -165,7 +180,7 @@ def odometry_step(state: OdometryState, image: jnp.ndarray, cfg: TBVConfig):
     out = OdometryOutput(
         pose=Tcurrent, fused=fuse, success=res.success, constraint=diff,
         cov=cov_rot, score=res.score, num_residuals=res.num_residuals,
-        cells=cells, cloud=cloud, peaks=peaks)
+        cells=store_cells, cloud=cloud, peaks=peaks)
     return state, out
 
 
@@ -203,6 +218,7 @@ class OdometryPipeline:
         self.state = init_state(cfg)
         self.frame_poses: List[np.ndarray] = []
         self.frame_stamps: List[float] = []
+        self.frame_covs: List[np.ndarray] = []  # per-frame registration cov
         # keyframe store (the simple_graph analogue)
         self.kf_poses: List[np.ndarray] = []
         self.kf_stamps: List[float] = []
@@ -225,6 +241,7 @@ class OdometryPipeline:
                 out.pose.block_until_ready()
         self.frame_poses.append(np.asarray(out.pose))
         self.frame_stamps.append(stamp)
+        self.frame_covs.append(np.asarray(out.cov))
         if bool(out.fused):
             kf_idx = len(self.kf_poses)
             self.kf_poses.append(np.asarray(out.pose))

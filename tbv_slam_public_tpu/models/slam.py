@@ -23,7 +23,7 @@ import numpy as np
 from ..core import se2
 from ..core.config import TBVConfig
 from ..core.timing import timing
-from ..core.types import LOOP_APPEARANCE, ODOMETRY
+from ..core.types import LOOP_APPEARANCE, MINI_LOOP, ODOMETRY
 from ..eval import trajectory as traj_eval
 from ..ops import posegraph
 from .loopclosure import LoopCloser, LoopConstraint
@@ -65,17 +65,19 @@ class PoseGraph:
             se2.compose(jnp.asarray(self.poses[id_begin]),
                         jnp.asarray(t_be, jnp.float32)), np.float32)
 
-    def add_loop_constraint(self, c: LoopConstraint) -> None:
+    def add_loop_constraint(self, c: LoopConstraint,
+                            etype: int = LOOP_APPEARANCE) -> None:
         self.edges.append(dict(idx=(c.id_from, c.id_to),
                                meas=np.asarray(c.t_be, np.float32),
-                               etype=LOOP_APPEARANCE))
+                               etype=etype))
 
     @property
     def num_nodes(self) -> int:
         return len(self.poses)
 
     def num_loops(self) -> int:
-        return sum(1 for e in self.edges if e["etype"] == LOOP_APPEARANCE)
+        return sum(1 for e in self.edges
+                   if e["etype"] in (LOOP_APPEARANCE, MINI_LOOP))
 
     def traveled_distance(self) -> float:
         """Sum of odometry constraint norms (posegraph.cpp:151-160)."""
@@ -193,6 +195,14 @@ class TBVSLAM:
         self.graph = PoseGraph(cfg)
         self._frames = 0
         self._kf_to_node: List[int] = []
+        # Additional strategies (TBVSLAM ctor instantiates the enabled ones,
+        # tbv_slam.cpp:9-30).
+        from .strategies import ProximityCloser
+
+        self.mini_closure = ProximityCloser(cfg, self.loops) \
+            if cfg.loopclosure.miniclosure_enabled else None
+        self.gt_vicinity = ProximityCloser(cfg, self.loops, gt_vicinity=True) \
+            if cfg.loopclosure.gt_vicinity_enabled else None
 
     def process_frame(self, image: np.ndarray, stamp: float = 0.0,
                       gt_pose: Optional[np.ndarray] = None,
@@ -225,6 +235,13 @@ class TBVSLAM:
         GT alignment (RunBasicEvaluation + Align, tbv_slam_offline.cpp:269)."""
         for lc in self.loops.finish():
             self.graph.add_loop_constraint(lc)
+        if self.mini_closure is not None:
+            for lc in self.mini_closure.search(self.graph.poses_array()):
+                self.graph.add_loop_constraint(lc, etype=MINI_LOOP)
+        if self.gt_vicinity is not None:
+            for lc in self.gt_vicinity.search(self.graph.poses_array(),
+                                              gt_poses=self.graph.gt_array()):
+                self.graph.add_loop_constraint(lc)
         if optimize and self.graph.num_nodes > 1:
             res = self.graph.optimize(solver=solver)
             cost0, cost = float(res.cost0), float(res.cost)

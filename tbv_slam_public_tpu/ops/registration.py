@@ -390,6 +390,73 @@ def register_window(
     )
 
 
+def cell_rel_timestamps(mean: jnp.ndarray, ccw: bool) -> jnp.ndarray:
+    """Relative in-sweep timestamp factor per cell in [-0.5, 0.5].
+
+    GetRelTimeStamp (utils.h:28-32): derived from the azimuth angle of the
+    cell's LOCAL position — the radar sweeps azimuths over one period, so a
+    cell's bearing encodes when within the sweep it was observed.
+    """
+    a = jnp.arctan2(mean[..., 1], mean[..., 0])
+    d = jnp.where(a > 1e-5, a, 2.0 * jnp.pi + a) / (2.0 * jnp.pi)
+    return jnp.where(ccw, -(d - 0.5), d - 0.5)
+
+
+def motion_correct_cells(src: Cells, vel: jnp.ndarray, ccw) -> Cells:
+    """Per-cell velocity (distortion) correction for time-continuous
+    registration: cell mean -> R(t_i * v_theta) mean + t_i * v_xy, normal
+    rotated by the same per-cell rotation (P2PEfficientContinuousCost,
+    n_scan_normal.h:363-404; Tcomp composition n_scan_normal.cpp:225-233).
+
+    ``vel`` is the per-sweep motion (x, y, theta) — held constant during the
+    solve (the reference never frees vel_parameters_)."""
+    t = cell_rel_timestamps(src.mean, ccw)  # [C]
+    ang = t * vel[2]
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    mx, my = src.mean[..., 0], src.mean[..., 1]
+    mean = jnp.stack([c * mx - s * my + t * vel[0],
+                      s * mx + c * my + t * vel[1]], -1)
+    nx, ny = src.normal[..., 0], src.normal[..., 1]
+    normal = jnp.stack([c * nx - s * ny, s * nx + c * ny], -1)
+    return src.replace(mean=mean, normal=normal)
+
+
+@partial(jax.jit, static_argnames=("cfg", "ccw", "max_outer", "max_inner"))
+def register_time_continuous(
+    src: Cells,
+    src_pose0: jnp.ndarray,
+    tgt: Cells,
+    tgt_poses: jnp.ndarray,
+    tgt_scan_mask: jnp.ndarray,
+    cfg: RegistrationConfig,
+    vel: jnp.ndarray,  # [3] per-sweep velocity (Tvel of RegisterTimeContinuous)
+    ccw: bool = False,
+    guess: Optional[jnp.ndarray] = None,
+    guess_sqrt_info: Optional[jnp.ndarray] = None,
+    max_outer: Optional[int] = None,
+    max_inner: Optional[int] = None,
+) -> RegistrationResult:
+    """Time-continuous P2P window registration (RegisterTimeContinuous,
+    n_scan_normal.cpp:67-80).
+
+    The reference threads a per-association-pass velocity correction through
+    both association (Tsrctotar * Tcomp, n_scan_normal.cpp:225-233) and the
+    P2P residual (P2PEfficientContinuousCost).  Because the velocity block is
+    constant during the solve, correcting each source cell ONCE up front is
+    algebraically identical: residual = tar_w - (pose o (R(t v_th) u + t v)).
+    That makes the variant a pure pre-pass over the source cells followed by
+    the standard (already TPU-shaped) window registration with cost=P2P.
+    """
+    import dataclasses
+
+    p2p_cfg = dataclasses.replace(cfg, cost="P2P")
+    corrected = motion_correct_cells(src, vel, ccw)
+    return register_window(
+        corrected, src_pose0, tgt, tgt_poses, tgt_scan_mask, p2p_cfg,
+        guess=guess, guess_sqrt_info=guess_sqrt_info,
+        max_outer=max_outer, max_inner=max_inner)
+
+
 def _quad_fit_pinv(xy_range: float, yaw_range: float, steps: int) -> tuple:
     """Static pseudo-inverse of the quadratic-fit design matrix over the
     3^3 sampling grid (approximateCovarianceBySampling,

@@ -46,6 +46,25 @@ def test_slam_from_checkpoint_cli(odometry_out, tmp_path):
         assert os.path.exists(os.path.join(out, f)), f
 
 
+def test_reoptimize_cli(odometry_out, tmp_path, capsys):
+    """debug_optimizer analogue: re-run PGO on a saved full graph with
+    overridden weights (tbv_slam_offline.cpp:289-330)."""
+    out = str(tmp_path / "slam")
+    rc = cli.main(["slam", "--graph",
+                   os.path.join(odometry_out, "simple_graph.npz"),
+                   "--output", out] + FAST)
+    assert rc == 0
+    capsys.readouterr()
+    reopt = str(tmp_path / "full_graph2.npz")
+    rc = cli.main(["reoptimize", "--graph",
+                   os.path.join(out, "full_graph.npz"),
+                   "--output", reopt, "pgo.loop_scaling=1e4"] + FAST)
+    assert rc == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["cost"] <= m["cost0"]
+    assert os.path.exists(reopt)
+
+
 def test_eval_cli(odometry_out, tmp_path, capsys):
     gt = os.path.join(odometry_out, "odom", "00_gt.txt")
     est = os.path.join(odometry_out, "odom", "00.txt")
