@@ -97,7 +97,7 @@ def main():
             verification=VerificationConfig(peaks_capacity=1024),
         )
         batch = args.batch
-        n_nodes = 1024
+        n_nodes = 4096  # the reference's Oxford run optimizes ~4471 keyframes
 
     rng = np.random.default_rng(0)
     world = simulate.make_world(rng, num_walls=80,
@@ -159,34 +159,61 @@ def main():
     cands_per_s = batch / wave_s
 
     # ---- stage 3: pose-graph optimization --------------------------------
+    # TBV-like instance at the reference's graph scale (Oxford run: ~4471
+    # keyframes, one 980.8 ms Ceres solve): a closed circuit traversed
+    # twice, 1.5 m keyframes, drifting odometry, loop edges at revisits.
     _stage("stage 3: pose-graph optimization")
+    from tbv_slam_public_tpu.core import se2 as se2_op
+
     pgo_cfg = PGOConfig()
+    per_lap = n_nodes // 2
+    circ_r = per_lap * 1.5 / (2 * np.pi)
+    gt_nodes = np.zeros((n_nodes, 3), np.float32)
+    for i in range(n_nodes):
+        a = 2 * np.pi * (i % per_lap) / per_lap
+        gt_nodes[i] = [circ_r * np.cos(a), circ_r * np.sin(a),
+                       a + np.pi / 2]
+    odo = []
+    for i in range(n_nodes - 1):
+        rel = np.asarray(se2_op.relative(jnp.asarray(gt_nodes[i]),
+                                         jnp.asarray(gt_nodes[i + 1])))
+        odo.append(rel + rng.normal(0, [0.03, 0.03, 0.003]))
     poses = np.zeros((n_nodes, 3), np.float32)
-    for i in range(1, n_nodes):
-        poses[i] = poses[i - 1] + [1.0 + 0.01 * rng.normal(),
-                                   0.01 * rng.normal(), 0.002]
-    e_cap = ((n_nodes + 64 + 1023) // 1024) * 1024
+    for i in range(n_nodes - 1):
+        poses[i + 1] = np.asarray(se2_op.compose(jnp.asarray(poses[i]),
+                                                 jnp.asarray(odo[i],
+                                                             jnp.float32)))
+    loop_pairs = [(i, i - per_lap) for i in range(per_lap, n_nodes, 7)]
+    e_cap = ((n_nodes - 1 + len(loop_pairs) + 1023) // 1024) * 1024
     idx = np.zeros((e_cap, 2), np.int32)
     meas = np.zeros((e_cap, 3), np.float32)
     etype = np.zeros((e_cap,), np.int32)
     mask = np.zeros((e_cap,), bool)
     for i in range(n_nodes - 1):
-        idx[i], meas[i], etype[i], mask[i] = (i, i + 1), (1.0, 0.0, 0.002), \
-            ODOMETRY, True
-    for k in range(64):
+        idx[i], meas[i], etype[i], mask[i] = (i, i + 1), odo[i], ODOMETRY, True
+    for k, (a, b) in enumerate(loop_pairs):
         j = n_nodes - 1 + k
-        a = int(rng.integers(0, n_nodes // 2))
-        b = int(rng.integers(n_nodes // 2, n_nodes))
+        rel = np.asarray(se2_op.relative(jnp.asarray(gt_nodes[a]),
+                                         jnp.asarray(gt_nodes[b])))
         idx[j], etype[j], mask[j] = (a, b), LOOP_APPEARANCE, True
-        meas[j] = poses[b] - poses[a] + rng.normal(0, 0.05, 3)
+        meas[j] = rel + rng.normal(0, [0.05, 0.05, 0.005])
     sqrt_info = np.asarray(posegraph.default_sqrt_info(jnp.asarray(etype),
                                                        pgo_cfg))
     edges = posegraph.make_edges(idx, meas, sqrt_info, etype, mask)
     jposes = jnp.asarray(poses)
     nmask = jnp.ones((n_nodes,), bool)
+    loop_cap = max(((len(loop_pairs) + 63) // 64) * 64, 64)
     pgo_ms = _timeit(
         lambda: posegraph.optimize(jposes, nmask, edges, pgo_cfg,
-                                   solver="cholesky").poses, iters=5) * 1e3
+                                   solver="schur",
+                                   loop_cap=loop_cap).poses, iters=5) * 1e3
+    pgo_res = posegraph.optimize(jposes, nmask, edges, pgo_cfg,
+                                 solver="schur", loop_cap=loop_cap)
+    est_n = np.asarray(pgo_res.poses)
+    pgo_ate0 = float(np.sqrt(np.mean(np.sum(
+        (poses[:, :2] - gt_nodes[:, :2]) ** 2, 1))))
+    pgo_ate = float(np.sqrt(np.mean(np.sum(
+        (est_n[:, :2] - gt_nodes[:, :2]) ** 2, 1))))
 
     result = {
         "metric": "loop_candidates_per_s",
@@ -198,8 +225,11 @@ def main():
             "odometry_vs_realtime": round(BASE_ODOM_MS / odom_ms, 2),
             **({"odometry_frames_per_s_batched": round(odom_fps_batched, 1),
                 "odometry_batch": b_seq} if odom_fps_batched else {}),
-            "pgo_1024node_ms": round(pgo_ms, 2),
+            f"pgo_{n_nodes}node_ms": round(pgo_ms, 2),
             "pgo_vs_baseline": round(BASE_PGO_MS / pgo_ms, 2),
+            "pgo_ate_before_m": round(pgo_ate0, 2),
+            "pgo_ate_after_m": round(pgo_ate, 2),
+            "pgo_iterations": int(pgo_res.iterations),
             "candidate_batch": batch,
             "backend": jax.devices()[0].platform,
         },

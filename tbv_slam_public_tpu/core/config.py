@@ -182,7 +182,15 @@ class PGOConfig:
     cauchy_scale: float = 0.1  # Cauchy loss on loop edges
     lago_init: bool = True  # two-stage linear (rotation/position) init
     max_iterations: int = 64
-    function_tolerance: float = 1e-6  # Ceres default early exit on rel decrease
+    # Ceres' default is 1e-6 (in f64); 1e-5 sits just above the f32
+    # cost-evaluation noise floor of the on-device solver — tighter values
+    # only buy noise-level cost changes at tens of extra iterations.
+    function_tolerance: float = 1e-5
+    # Explore {0.1, 1, 10}x lambda per iteration (3 solves amortizing one
+    # Hessian assembly) instead of classic accept/reject LM.  Costs ~2x per
+    # iteration, roughly halves iteration count; disable for the smallest
+    # compiled program at very large graphs.
+    tri_damping: bool = True
     cg_iterations: int = 100
     cg_tol: float = 1e-6
     init_lambda: float = 1e-6

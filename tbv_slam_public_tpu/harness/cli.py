@@ -400,8 +400,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p = sub.add_parser("slam")
     p.add_argument("--graph", required=True)
     p.add_argument("--output", required=True)
-    p.add_argument("--solver", default="cholesky",
-                   choices=["cholesky", "cg"])
+    p.add_argument("--solver", default="auto",
+                   choices=["auto", "schur", "cholesky", "cg"])
     p.set_defaults(fn=cmd_slam)
 
     p = sub.add_parser("online")
@@ -413,8 +413,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p = sub.add_parser("reoptimize")
     p.add_argument("--graph", required=True)
     p.add_argument("--output", default=None)
-    p.add_argument("--solver", default="cholesky",
-                   choices=["cholesky", "cg"])
+    p.add_argument("--solver", default="auto",
+                   choices=["auto", "schur", "cholesky", "cg"])
     p.set_defaults(fn=cmd_reoptimize)
 
     p = sub.add_parser("eval")

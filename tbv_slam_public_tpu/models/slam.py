@@ -107,13 +107,31 @@ class PoseGraph:
         edges = posegraph.make_edges(idx, meas, sqrt_info, etype, mask)
         return poses, node_mask, edges
 
-    def optimize(self, solver: str = "cholesky") -> posegraph.PGOResult:
-        """ForceOptimize (posegraph.cpp:112-130) — one full robust LM solve."""
+    def optimize(self, solver: str = "auto") -> posegraph.PGOResult:
+        """ForceOptimize (posegraph.cpp:112-130) — one full robust LM solve.
+
+        ``solver="auto"`` picks the structured chain+Woodbury solver when the
+        odometry edges form the keyframe chain and loops are sparse (the
+        normal SLAM case), falling back to the dense Cholesky otherwise.
+        """
         chunk = self.cfg.pgo.edge_capacity_chunk
         poses, node_mask, edges = self._padded(chunk)
+        loop_cap = None
+        if solver == "auto":
+            n_chain = sum(1 for e in self.edges
+                          if e["etype"] == ODOMETRY
+                          and e["idx"][1] == e["idx"][0] + 1)
+            n_other = len(self.edges) - n_chain
+            if n_chain >= max(4, len(self.poses) // 2) \
+                    and n_other * 6 < 3 * len(self.poses):
+                solver = "schur"
+                loop_cap = max(((n_other + 63) // 64) * 64, 64)
+            else:
+                solver = "cholesky"
         with timing.timer("pose_graph_optimization"):
             res = posegraph.optimize(jnp.asarray(poses), jnp.asarray(node_mask),
-                                     edges, self.cfg.pgo, solver=solver)
+                                     edges, self.cfg.pgo, solver=solver,
+                                     loop_cap=loop_cap)
             res.poses.block_until_ready()
         out = np.asarray(res.poses)
         for i in range(len(self.poses)):

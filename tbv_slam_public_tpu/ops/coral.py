@@ -42,15 +42,14 @@ def _neighbor_moments(queries, qmask, points, pmask, radius):
     Returns (count [Q], sum_rel [Q,2], sum_sq [Q,2,2]) where moments are of
     (p - q) in query-centered coordinates.
     """
-    d2 = (
-        jnp.sum(queries * queries, 1)[:, None]
-        + jnp.sum(points * points, 1)[None, :]
-        - 2.0 * queries @ points.T
-    )
+    rel = points[None, :, :] - queries[:, None, :]  # [Q, P, 2]
+    # d2 from the (already materialized) relative coordinates: exact in f32
+    # regardless of |coordinate| — the matmul |q|^2+|p|^2-2qp form loses the
+    # radius gate to MXU bf16 cancellation at range.
+    d2 = jnp.sum(rel * rel, axis=-1)
     m = (d2 <= radius * radius) & pmask[None, :] & qmask[:, None]
     fm = m.astype(queries.dtype)
     count = jnp.sum(fm, axis=1)
-    rel = points[None, :, :] - queries[:, None, :]  # [Q, P, 2]
     rel = rel * fm[:, :, None]
     sum_rel = jnp.sum(rel, axis=1)
     sum_sq = jnp.einsum("qpi,qpj->qij", rel, rel)

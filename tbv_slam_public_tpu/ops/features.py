@@ -86,11 +86,13 @@ def _compute_cells_impl(xy, intensity, mask, *, leaf: float, radius: float,
     centroid = sums[sel] / jnp.maximum(sel_count, 1.0)[:, None]  # [C,2]
 
     # --- 3. masked neighborhood stats (centered on voxel centroid) -------
-    # dist^2 via |c|^2 + |p|^2 - 2 c.p (MXU matmul form)
+    # full-precision cross term: the MXU's default bf16 matmul passes corrupt
+    # the radius gate at |p|~100 m (see registration._pairwise_sqdist)
     d2 = (
         jnp.sum(centroid * centroid, axis=1)[:, None]
         + jnp.sum(xy * xy, axis=1)[None, :]
-        - 2.0 * centroid @ xy.T
+        - 2.0 * jnp.matmul(centroid, xy.T,
+                           precision=jax.lax.Precision.HIGHEST)
     )  # [C, P]
     nbr = (d2 <= radius * radius) & mask[None, :] & sel_occupied[:, None]
     nbr_count = jnp.sum(nbr, axis=1)

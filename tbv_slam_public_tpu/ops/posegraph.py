@@ -4,17 +4,26 @@ TPU-native replacement for the reference's Ceres pose-graph solver
 (tbv_slam/src/tbv_slam/ceresoptimizer.cpp:13-110): the per-edge
 PoseGraph3dErrorTerm residual (ceresoptimizer.h:51-95) becomes one batched
 computation over a padded SoA edge store, and SPARSE_NORMAL_CHOLESKY
-(ceresoptimizer.cpp:56) becomes either
+(ceresoptimizer.cpp:56) becomes one of three solvers:
 
-- a dense blocked normal-equation solve (``solver="cholesky"``): the Hessian
-  of the 3N-DoF planar graph is assembled with two batched 3x3-block
-  scatter-adds and factorized on the MXU — for the graph sizes of this system
-  (~1-2k keyframes) a dense 3Nx3N Cholesky is far below a millisecond-scale
-  TPU matmul and beats the reference's 980 ms sparse CPU solve outright, or
-- a matrix-free block-Jacobi preconditioned conjugate-gradient solve
-  (``solver="cg"``): Hv products are computed edge-wise with segment-sums —
-  this is the form that shards across chips (edges partitioned, psum over the
-  mesh; see tbv_slam_public_tpu.parallel).
+- ``solver="schur"`` (the structured fast path): SLAM graphs are an odometry
+  CHAIN plus sparse loop edges.  The chain Hessian factorizes by one level
+  of substructuring — B independent dense segments eliminated with a single
+  batched MXU Cholesky, a small dense separator system — and the loop edges
+  fold in exactly via a Woodbury solve whose capacitance is the Schur
+  complement on the loop-edge space (_partitioned_tridiag_solve +
+  _schur_solve).  O(1) sequential depth; per-iteration cost is a handful of
+  batched small-matrix ops.
+- ``solver="cholesky"``: dense normal equations; the sparse Jacobian is
+  materialized in edge chunks and contracted J^T J on the MXU, then one
+  dense 3Nx3N Cholesky.
+- ``solver="cg"``: matrix-free block-Jacobi preconditioned CG; Hv products
+  are edge-local followed by a reduction — the form that shards across chips
+  (edges partitioned, psum over the mesh; see tbv_slam_public_tpu.parallel).
+
+Everything runs under ``jax.default_matmul_precision("highest")``: the
+MXU's default bf16 matmul passes put ~1e-3 relative noise on H and g, which
+silently turns superlinear LM convergence into a noise-floor crawl.
 
 Robustification follows the reference: odometry edges take no loss, loop
 edges a Cauchy(0.1) loss applied by IRLS reweighting
@@ -133,7 +142,8 @@ def _incidence(edges: GraphEdges, n: int, dtype):
 
 
 def _gradient_and_blocks(poses, edges, cfg: PGOConfig):
-    """IRLS gradient [N,3] and the per-edge GN blocks for H."""
+    """IRLS gradient [N,3] and the sqrt(w)-weighted per-edge jacobian blocks
+    (Jb, Je) from which H = J^T J is assembled."""
     r, Jb, Je = _edge_jacobians(poses, edges)
     rho, w = _cauchy_weights(r, edges, cfg)
     cost = 0.5 * jnp.sum(rho)
@@ -143,31 +153,49 @@ def _gradient_and_blocks(poses, edges, cfg: PGOConfig):
     ge = jnp.einsum("eij,ei->ej", Je, wr)
     ub, ue = _incidence(edges, n, poses.dtype)
     g = ub.T @ gb + ue.T @ ge
-    we = w[:, None, None]
-    Hbb = we * jnp.einsum("eri,erj->eij", Jb, Jb)
-    Hee = we * jnp.einsum("eri,erj->eij", Je, Je)
-    Hbe = we * jnp.einsum("eri,erj->eij", Jb, Je)
-    return cost, g, (Hbb, Hee, Hbe)
+    sw = jnp.sqrt(w)[:, None, None]
+    return cost, g, (sw * Jb, sw * Je)
 
 
 def _dense_hessian(n, edges, blocks, gauge_mask):
     """Assemble the dense [3N,3N] Hessian from the 3x3 edge blocks.
 
-    MXU form: block scatter-adds become one-hot einsum contractions over the
-    edge axis (matmuls), which XLA tiles onto the systolic array.
+    MXU form: materialize the sparse whitened+weighted Jacobian as a dense
+    [3E, 3N] matrix (each edge row-block has its Jb/Je 3x3 at columns b/e,
+    placed by one-hot broadcast) and form H = J^T J with ONE [3N,3E]x[3E,3N]
+    matmul — a single large systolic contraction instead of four 3-operand
+    einsum contractions.  The 3x3 edge blocks arrive pre-weighted with
+    sqrt(w) folded in by the caller.
 
     ``gauge_mask`` [N] bool marks FREE nodes; fixed/padded nodes get identity
     rows/cols so the factorization stays SPD without changing free DoFs.
     """
-    Hbb, Hee, Hbe = blocks
-    ub, ue = _incidence(edges, n, Hbb.dtype)
-    H = (
-        jnp.einsum("en,eij,em->nimj", ub, Hbb, ub)
-        + jnp.einsum("en,eij,em->nimj", ue, Hee, ue)
-        + jnp.einsum("en,eij,em->nimj", ub, Hbe, ue)
-        + jnp.einsum("en,eji,em->nimj", ue, Hbe, ub)
-    )
-    H = H.reshape(3 * n, 3 * n)
+    Jb, Je = blocks  # [E, 3, 3] sqrt(w)-weighted whitened jacobians
+    e = Jb.shape[0]
+    ub, ue = _incidence(edges, n, Jb.dtype)
+
+    def chunk_jtj(h, inp):
+        jb, je, cb, ce = inp  # [ec,3,3], [ec,3,3], [ec,N], [ec,N]
+        # [ec, 3, 3, N] -> [3ec, 3N]: row (e, r), col (n, j)
+        J = (jb[:, :, :, None] * cb[:, None, None, :]
+             + je[:, :, :, None] * ce[:, None, None, :])
+        J = J.transpose(0, 1, 3, 2).reshape(-1, 3 * n)
+        return h + J.T @ J, None
+
+    # chunk the edge axis so the materialized [3ec, 3N] jacobian slab stays
+    # ~100 MB (the full J at reference graph scale exceeds HBM)
+    ec = e
+    while ec * 9 * n * 4 > 1.5e8 and ec % 2 == 0:
+        ec //= 2
+    nc = e // ec
+    inp = (Jb.reshape(nc, ec, 3, 3), Je.reshape(nc, ec, 3, 3),
+           ub.reshape(nc, ec, n), ue.reshape(nc, ec, n))
+    if nc == 1:
+        H, _ = chunk_jtj(jnp.zeros((3 * n, 3 * n), Jb.dtype),
+                         jax.tree.map(lambda x: x[0], inp))
+    else:
+        H, _ = jax.lax.scan(chunk_jtj,
+                            jnp.zeros((3 * n, 3 * n), Jb.dtype), inp)
     free = jnp.repeat(gauge_mask, 3)
     keep = free[:, None] & free[None, :]
     H = jnp.where(keep, H, 0.0)
@@ -193,7 +221,9 @@ def _hvp(v, edges, w, Jb, Je, gauge_mask):
 
 
 def _block_diag(n, edges, blocks, gauge_mask):
-    Hbb, Hee, _ = blocks
+    wJb, wJe = blocks
+    Hbb = jnp.einsum("eri,erj->eij", wJb, wJb)
+    Hee = jnp.einsum("eri,erj->eij", wJe, wJe)
     D = jnp.zeros((n, 3, 3), Hbb.dtype)
     D = D.at[edges.idx[:, 0]].add(Hbb)
     D = D.at[edges.idx[:, 1]].add(Hee)
@@ -241,6 +271,286 @@ def _pcg_solve(b, edges, w, Jb, Je, diag_blocks, gauge_mask, lam, iters, tol):
     x, *_ = jax.lax.fori_loop(
         0, iters, body, (x0, r0, p0, rz0, jnp.asarray(True)))
     return x
+
+
+def _tridiag_solve(D, O, b):
+    """Block-tridiagonal SPD solve (Thomas) with batched right-hand sides.
+
+    D [N,3,3] diagonal blocks, O [N,3,3] with O[i] the (i, i+1) coupling
+    (O[N-1] unused/zero), b [N,3,K].  Returns x [N,3,K].  Two lax.scans
+    (forward elimination, back substitution) of 3x3 block ops — the
+    sequential depth is N but each step is tiny; this replaces an O((3N)^3)
+    dense factorization for the chain part of the pose-graph Hessian.
+    """
+    def inv3(m):
+        return jnp.linalg.inv(m + 1e-12 * jnp.eye(3, dtype=m.dtype))
+
+    def fwd(carry, inp):
+        s_prev_inv, y_prev = carry
+        d_i, o_prev, b_i = inp
+        w = o_prev.T @ s_prev_inv  # [3,3]
+        s_i = d_i - w @ o_prev
+        y_i = b_i - w @ y_prev
+        s_inv = inv3(s_i)
+        return (s_inv, y_i), (s_inv, y_i)
+
+    o_shift = jnp.concatenate([jnp.zeros_like(O[:1]), O[:-1]], axis=0)
+    k = b.shape[-1]
+    init = (jnp.zeros((3, 3), D.dtype), jnp.zeros((3, k), D.dtype))
+    _, (s_inv, y) = jax.lax.scan(fwd, init, (D, o_shift, b))
+
+    def bwd(x_next, inp):
+        s_inv_i, y_i, o_i = inp
+        x_i = s_inv_i @ (y_i - o_i @ x_next)
+        return x_i, x_i
+
+    _, x_rev = jax.lax.scan(
+        bwd, jnp.zeros((3, k), D.dtype), (s_inv, y, O), reverse=True)
+    return x_rev
+
+
+def _partitioned_tridiag_solve(D, O, b, seg: int):
+    """SPD block-tridiagonal solve via one level of substructuring.
+
+    Nodes are partitioned into chunks of ``seg``; the last node of each chunk
+    is a separator.  Eliminating all chunk interiors (B independent dense
+    segments, factored as ONE batched Cholesky on the MXU) reduces T to a
+    small dense system on the 3B separator DoFs, which is solved directly;
+    interiors back-substitute batched.  Unlike a Thomas scan this has O(1)
+    sequential depth and is backward-stable (pure Cholesky solves), which
+    f32 needs at the pose-graph's condition numbers.
+
+    D [N,3,3], O [N,3,3] (O[i] couples i,i+1; O[N-1] must be zero),
+    b [N,3,K]; N must be divisible by seg.  Returns x [N,3,K].
+    """
+    import jax.scipy.linalg as jsl
+
+    n = D.shape[0]
+    assert n % seg == 0, (n, seg)
+    nb = n // seg
+    m = seg - 1  # interior nodes per segment
+    k = b.shape[-1]
+    Dr = D.reshape(nb, seg, 3, 3)
+    Orr = O.reshape(nb, seg, 3, 3)
+    b_r = b.reshape(nb, seg, 3, k)
+
+    # segment interior matrices A [B, 3m, 3m]
+    A = jnp.zeros((nb, m, 3, m, 3), D.dtype)
+    for i in range(m):
+        A = A.at[:, i, :, i, :].set(Dr[:, i])
+    for i in range(m - 1):
+        A = A.at[:, i, :, i + 1, :].set(Orr[:, i])
+        A = A.at[:, i + 1, :, i, :].set(
+            jnp.swapaxes(Orr[:, i], -1, -2))
+    A = A.reshape(nb, 3 * m, 3 * m)
+    L = jnp.linalg.cholesky(A + 1e-12 * jnp.eye(3 * m, dtype=D.dtype))
+
+    def seg_solve(rhs):  # [B, 3m, K'] -> A^{-1} rhs (batched Cholesky)
+        return jax.vmap(lambda lb, rb: jsl.cho_solve((lb, True), rb))(L, rhs)
+
+    # couplings: c_s = O[seg interior last -> separator s] (edge m-1 of chunk)
+    # f_s = O[separator s -> first node of chunk s+1]     (edge seg-1 of chunk)
+    c = Orr[:, m - 1]  # [B, 3, 3] node (s, m-1) -> sep s
+    f = Orr[:, seg - 1]  # [B, 3, 3] sep s -> node (s+1, 0); f[B-1] == 0
+    d_sep = Dr[:, seg - 1]  # [B, 3, 3]
+
+    # E_s: segment-to-own-separator coupling lives at interior row m-1;
+    # F_s: segment s's coupling to separator s-1 lives at interior row 0.
+    E = jnp.zeros((nb, 3 * m, 3), D.dtype).at[:, 3 * (m - 1):, :].set(c)
+    f_prev = jnp.concatenate([jnp.zeros_like(f[:1]), f[:-1]], 0)
+    F = jnp.zeros((nb, 3 * m, 3), D.dtype).at[:, :3, :].set(
+        jnp.swapaxes(f_prev, -1, -2))
+
+    rhs_all = jnp.concatenate([b_r[:, :seg - 1].reshape(nb, 3 * m, k),
+                               E, F], axis=-1)
+    sol = seg_solve(rhs_all)
+    Ainv_b = sol[..., :k]  # [B, 3m, K]
+    Ainv_E = sol[..., k:k + 3]
+    Ainv_F = sol[..., k + 3:]
+
+    # reduced separator system (dense 3B x 3B: B is small)
+    # D~_s = D_sep_s - E_s^T A_s^{-1} E_s - F_{s+1}^T A_{s+1}^{-1} F_{s+1}
+    EtAE = jnp.einsum("bri,brj->bij", E, Ainv_E)
+    FtAF = jnp.einsum("bri,brj->bij", F, Ainv_F)
+    FtAF_next = jnp.concatenate([FtAF[1:], jnp.zeros_like(FtAF[:1])], 0)
+    d_red = d_sep - EtAE - FtAF_next
+    # off-diagonal (sep s, sep s+1): - F_{s+1}^T A_{s+1}^{-1} E_{s+1}
+    FtAE = jnp.einsum("bri,brj->bij", F, Ainv_E)
+    o_red = -jnp.concatenate([FtAE[1:], jnp.zeros_like(FtAE[:1])], 0)
+    # reduced rhs
+    b_sep = b_r[:, seg - 1]  # [B, 3, K]
+    EtAb = jnp.einsum("bri,brk->bik", E, Ainv_b)
+    FtAb = jnp.einsum("bri,brk->bik", F, Ainv_b)
+    FtAb_next = jnp.concatenate([FtAb[1:], jnp.zeros_like(FtAb[:1])], 0)
+    b_red = b_sep - EtAb - FtAb_next
+
+    R = jnp.zeros((nb, 3, nb, 3), D.dtype)
+    di = jnp.arange(nb)
+    R = R.at[di, :, di, :].set(d_red)
+    R = R.at[di[:-1], :, di[:-1] + 1, :].set(o_red[:-1])
+    R = R.at[di[:-1] + 1, :, di[:-1], :].set(
+        jnp.swapaxes(o_red[:-1], -1, -2))
+    R = R.reshape(3 * nb, 3 * nb)
+    x_sep = jsl.cho_solve(
+        jsl.cho_factor(R + 1e-12 * jnp.eye(3 * nb, dtype=D.dtype)),
+        b_red.reshape(3 * nb, k))  # rows ordered (chunk, 3), matching R
+    x_sep = x_sep.reshape(nb, 3, k)
+
+    # back-substitute interiors:
+    # x_seg_s = A^{-1} b_seg - A^{-1}E x_sep_s - A^{-1}F x_sep_{s-1}
+    x_sep_prev = jnp.concatenate([jnp.zeros_like(x_sep[:1]), x_sep[:-1]], 0)
+    x_int = (Ainv_b
+             - jnp.einsum("bri,bik->brk", Ainv_E, x_sep)
+             - jnp.einsum("bri,bik->brk", Ainv_F, x_sep_prev))
+    x = jnp.concatenate([x_int.reshape(nb, m, 3, k),
+                         x_sep[:, None, :, :]], axis=1)
+    return x.reshape(n, 3, k)
+
+
+def _schur_solve(n, edges, blocks, gauge_mask, lam_diag, g, loop_idx):
+    """Direct solve of (H + damping) x = -g exploiting SLAM structure:
+    H = T + U^T U where T is the block-tridiagonal odometry-chain part
+    (+ damping + gauge) and U stacks the whitened loop-edge jacobian rows.
+
+    Woodbury/Schur: x = T^{-1}b - T^{-1}U^T (I + U T^{-1} U^T)^{-1} U T^{-1}b,
+    with ONE batched tridiagonal solve over 3L+1 right-hand sides and a small
+    dense Cholesky of the 3L x 3L capacitance (the Schur complement on the
+    loop-edge space; SURVEY §2.6 "Schur-complement reduction").  Loop count L
+    is static (``loop_idx`` is a padded [L] edge-index array; padded slots
+    must point at masked edges so their jacobians are zero).
+    """
+    wJb, wJe = blocks
+    is_chain = ((edges.idx[:, 1] == edges.idx[:, 0] + 1)
+                & (edges.etype == ODOMETRY) & edges.mask)
+    free_b = gauge_mask[edges.idx[:, 0]]
+    free_e = gauge_mask[edges.idx[:, 1]]
+    # gauge projection: zero jacobian columns of fixed nodes
+    wJb = jnp.where(free_b[:, None, None], wJb, 0.0)
+    wJe = jnp.where(free_e[:, None, None], wJe, 0.0)
+
+    cb = jnp.where(is_chain[:, None, None], wJb, 0.0)
+    ce = jnp.where(is_chain[:, None, None], wJe, 0.0)
+    Hbb = jnp.einsum("eri,erj->eij", cb, cb)
+    Hee = jnp.einsum("eri,erj->eij", ce, ce)
+    Hbe = jnp.einsum("eri,erj->eij", cb, ce)
+    D = jnp.zeros((n, 3, 3), wJb.dtype)
+    D = D.at[edges.idx[:, 0]].add(Hbb)
+    D = D.at[edges.idx[:, 1]].add(Hee)
+    O = jnp.zeros((n, 3, 3), wJb.dtype)
+    O = O.at[jnp.minimum(edges.idx[:, 0], n - 1)].add(
+        jnp.where(is_chain[:, None, None], Hbe, 0.0))
+
+    # loop-edge diagonal contributions live in U^T U; damping over the FULL
+    # diagonal (chain + loops) goes into T
+    is_loop = edges.mask & ~is_chain
+    lv = is_loop[loop_idx][:, None, None]
+    lb = jnp.where(lv, wJb[loop_idx], 0.0)  # [L, 3, 3]
+    le = jnp.where(lv, wJe[loop_idx], 0.0)
+    bidx = edges.idx[loop_idx, 0]
+    eidx = edges.idx[loop_idx, 1]
+    D = D + jax.vmap(jnp.diag)(lam_diag)  # [N,3] damping on diagonal
+    eye = jnp.eye(3, dtype=D.dtype)
+    D = D + 1e-8 * eye[None]  # keep T SPD at nodes with no chain edges
+    D = jnp.where(gauge_mask[:, None, None], D, eye[None])
+
+    # Jacobi equilibration of T (the chain spans ~4 orders of magnitude
+    # between translation and rotation information) + one refinement pass
+    # per T-solve: keeps the f32 Thomas recursion accurate enough that the
+    # LM step matches the dense solve.
+    dscale = 1.0 / jnp.sqrt(jnp.maximum(
+        jnp.diagonal(D, axis1=-2, axis2=-1), 1e-20))  # [N, 3]
+    Ds = D * dscale[:, :, None] * dscale[:, None, :]
+    ds_next = jnp.concatenate([dscale[1:], jnp.ones_like(dscale[:1])], 0)
+    Os = O * dscale[:, :, None] * ds_next[:, None, :]
+
+    def matvec_t(x):  # [N,3,K] -> T_s x
+        y = jnp.einsum("nij,njk->nik", Ds, x)
+        xn = jnp.concatenate([x[1:], jnp.zeros_like(x[:1])], 0)
+        xp = jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], 0)
+        op = jnp.concatenate([jnp.zeros_like(Os[:1]), Os[:-1]], 0)
+        y = y + jnp.einsum("nij,njk->nik", Os, xn)
+        y = y + jnp.einsum("nji,njk->nik", op, xp)
+        return y
+
+    seg = next((s for s in (32, 16, 8, 4) if n % s == 0), None)
+
+    def _solve_t_once(rhs):  # [N,3,K], refined equilibrated solve
+        rs = rhs * dscale[:, :, None]
+        if seg is not None:
+            solve = partial(_partitioned_tridiag_solve, Ds, Os, seg=seg)
+        else:
+            solve = partial(_tridiag_solve, Ds, Os)
+        x1 = solve(rs)
+        x1 = x1 + solve(rs - matvec_t(x1))
+        return x1 * dscale[:, :, None]
+
+    def solve_t(rhs, chunk=768):
+        # chunk the rhs columns: bounds the [N, 3, K]-sized temporaries the
+        # batched solves materialize (K = 3L+1 right-hand sides at once blew
+        # HBM on large graphs).
+        k_tot = rhs.shape[-1]
+        if k_tot <= chunk:
+            return _solve_t_once(rhs)
+        pad = (-k_tot) % chunk
+        rp = jnp.pad(rhs, ((0, 0), (0, 0), (0, pad)))
+        parts = jnp.moveaxis(rp.reshape(n, 3, -1, chunk), 2, 0)
+        out = jax.lax.map(_solve_t_once, parts)
+        out = jnp.moveaxis(out, 0, 2).reshape(n, 3, -1)
+        return out[..., :k_tot]
+
+    b = -g  # [N, 3]
+    l = loop_idx.shape[0]
+    # batched rhs: [b | U^T] -> [N, 3, 1 + 3L]
+    ut = jnp.zeros((n, 3, 3 * l), D.dtype)
+    # U row block for loop k occupies rhs columns 3k:3k+3; U^T has wJb^T at
+    # node b and wJe^T at node e.
+    cols = (3 * jnp.arange(l)[:, None] + jnp.arange(3)[None, :])  # [L, 3]
+    ut = ut.at[bidx[:, None, None], jnp.arange(3)[None, :, None],
+               cols[:, None, :]].add(jnp.swapaxes(lb, 1, 2))
+    ut = ut.at[eidx[:, None, None], jnp.arange(3)[None, :, None],
+               cols[:, None, :]].add(jnp.swapaxes(le, 1, 2))
+    rhs = jnp.concatenate([b[:, :, None], ut], axis=-1)  # [N, 3, 1+3L]
+    sol = solve_t(rhs)  # [N, 3, 1+3L]
+    tb = sol[..., 0]  # [N, 3] = T^{-1} b
+    tut = sol[..., 1:]  # [N, 3, 3L] = T^{-1} U^T
+
+    def apply_u(x):  # x [N, 3, K] -> U x [3L, K]
+        xb = x[bidx]  # [L, 3, K]
+        xe = x[eidx]
+        y = (jnp.einsum("lri,lik->lrk", lb, xb)
+             + jnp.einsum("lri,lik->lrk", le, xe))
+        return y.reshape(3 * l, -1)
+
+    def apply_ut(y):  # y [3L] -> U^T y [N, 3]
+        yl = y.reshape(l, 3)
+        out = jnp.zeros((n, 3), D.dtype)
+        out = out.at[bidx].add(jnp.einsum("lri,lr->li", lb, yl))
+        out = out.at[eidx].add(jnp.einsum("lri,lr->li", le, yl))
+        return out
+
+    import jax.scipy.linalg as jsl
+
+    cap = jnp.eye(3 * l, dtype=D.dtype) + apply_u(tut)
+    cl = jsl.cho_factor(cap + 1e-9 * jnp.eye(3 * l, dtype=D.dtype))
+
+    def woodbury(bv):  # [N,3] -> (T + U^T U)^{-1} bv, reusing tut/cap
+        tbv = solve_t(bv[:, :, None])[..., 0]
+        z = jsl.cho_solve(cl, apply_u(tbv[:, :, None])[:, 0])
+        return tbv - jnp.einsum("nik,k->ni", tut, z)
+
+    def matvec_h(x):  # full damped H x (all edges + damping + gauge)
+        xv = jnp.where(gauge_mask[:, None], x, 0.0)
+        y = (jnp.einsum("eri,ei->er", wJb, xv[edges.idx[:, 0]])
+             + jnp.einsum("eri,ei->er", wJe, xv[edges.idx[:, 1]]))
+        out = jnp.zeros_like(xv)
+        out = out.at[edges.idx[:, 0]].add(jnp.einsum("eri,er->ei", wJb, y))
+        out = out.at[edges.idx[:, 1]].add(jnp.einsum("eri,er->ei", wJe, y))
+        out = out + lam_diag * xv
+        return jnp.where(gauge_mask[:, None], out, xv)
+
+    x = woodbury(b)
+    x = x + woodbury(b - matvec_h(x))  # full-solve refinement
+    return jnp.where(gauge_mask[:, None], x, 0.0)
 
 
 def _lago_initialize(poses, gauge_mask, edges: GraphEdges):
@@ -297,22 +607,49 @@ def _lago_initialize(poses, gauge_mask, edges: GraphEdges):
     return jnp.where(gauge_mask[:, None], out, poses)
 
 
-@partial(jax.jit, static_argnames=("cfg", "solver"))
+@partial(jax.jit, static_argnames=("cfg", "solver", "loop_cap"))
 def optimize(
     poses: jnp.ndarray,  # [N, 3]
     node_mask: jnp.ndarray,  # [N] bool
     edges: GraphEdges,
     cfg: PGOConfig,
     solver: str = "cholesky",
+    loop_cap: Optional[int] = None,
 ) -> PGOResult:
     """Robust LM over the whole pose graph; first valid pose gauge-fixed.
 
     Matches CeresLeastSquares::Solve semantics (ceresoptimizer.cpp:44-62):
     trust-region LM with accept/reject, up to cfg.max_iterations outer steps,
     converging on relative cost decrease.
+
+    Solvers: "cholesky" (dense J^T J + MXU Cholesky), "cg" (matrix-free
+    block-Jacobi PCG), "schur" (block-tridiagonal chain factorization +
+    Woodbury loop correction; needs ``loop_cap`` >= number of non-chain
+    edges — the fast path for chain-dominated SLAM graphs).
     """
     n = poses.shape[0]
     gauge_mask = node_mask & (jnp.arange(n) != 0)
+    if solver == "schur":
+        if loop_cap is None:
+            raise ValueError("solver='schur' requires loop_cap")
+        is_chain_s = ((edges.idx[:, 1] == edges.idx[:, 0] + 1)
+                      & (edges.etype == ODOMETRY) & edges.mask)
+        is_loop_s = edges.mask & ~is_chain_s
+        loop_idx = jnp.argsort(~is_loop_s, stable=True)[:loop_cap]
+    # TPU detail: normal-equation assembly and the solves are
+    # precision-critical — the MXU's default bf16 matmul passes inject
+    # ~1e-3 relative noise into H and g, which caps LM convergence (the
+    # gradient floor shows up as dozens of wasted trust-region iterations).
+    # Force full-f32 contraction for everything traced below.
+    with jax.default_matmul_precision("highest"):
+        return _optimize_impl(poses, node_mask, gauge_mask, edges, cfg,
+                              solver,
+                              loop_idx if solver == "schur" else None)
+
+
+def _optimize_impl(poses, node_mask, gauge_mask, edges, cfg, solver,
+                   loop_idx) -> PGOResult:
+    n = poses.shape[0]
 
     cost0 = graph_cost(poses, edges, cfg)
     cur0 = cost0
@@ -330,14 +667,48 @@ def optimize(
     def body(state):
         p, lam, cur, accepted, itr, _ = state
         cost, g, blocks = _gradient_and_blocks(p, edges, cfg)
-        if solver == "cholesky":
+        if solver == "schur":
+            # Tri-damping as in the cholesky path, but each solve is the
+            # structured chain+Woodbury solve instead of a dense Cholesky.
+            wJb, wJe = blocks
+            hdiag = jnp.zeros((n, 3), p.dtype)
+            hdiag = hdiag.at[edges.idx[:, 0]].add(
+                jnp.einsum("eri,eri->ei", wJb, wJb))
+            hdiag = hdiag.at[edges.idx[:, 1]].add(
+                jnp.einsum("eri,eri->ei", wJe, wJe))
+            gm = jnp.where(gauge_mask[:, None], g, 0.0)
+            lams = jnp.stack([0.1 * lam, lam, 10.0 * lam]) \
+                if cfg.tri_damping else jnp.stack([lam])
+
+            def solve_one(l):
+                s = _schur_solve(n, edges, blocks, gauge_mask,
+                                 l * hdiag, gm, loop_idx)
+                c = p + s
+                c = c.at[:, 2].set(se2.wrap_angle(c[:, 2]))
+                c = jnp.where(gauge_mask[:, None], c, p)
+                return c, graph_cost(c, edges, cfg)
+
+            # three damping candidates: batched (vmap) when the batched-rhs
+            # solve temporaries fit comfortably, sequential (lax.map) on
+            # large graphs where 3x peak memory would blow HBM
+            small = n * (3 * loop_idx.shape[0] + 1) * 3 * 4 * 3 < 3e8
+            if small:
+                cands, costs = jax.vmap(solve_one)(lams)
+            else:
+                cands, costs = jax.lax.map(solve_one, lams)
+            best = jnp.argmin(costs)
+            cand = cands[best]
+            new_cost = costs[best]
+            lam_next = jnp.maximum(lams[best] * 0.5, 1e-12)
+        elif solver == "cholesky":
             # Tri-damping: the Hessian assembly dominates the iteration, so
             # amortize it over three trust-region radii solved as one
             # batched Cholesky; pick the best candidate.  Roughly halves the
             # iteration count of classic accept/reject LM.
             H = _dense_hessian(n, edges, blocks, gauge_mask)
             g_flat = jnp.where(jnp.repeat(gauge_mask, 3), g.reshape(-1), 0.0)
-            lams = jnp.stack([0.1 * lam, lam, 10.0 * lam])
+            lams = jnp.stack([0.1 * lam, lam, 10.0 * lam]) \
+                if cfg.tri_damping else jnp.stack([lam])
             hdiag = jnp.diagonal(H)
 
             def solve_one(l):
@@ -367,9 +738,12 @@ def optimize(
             new_cost = graph_cost(cand, edges, cfg)
             lam_next = jnp.maximum(lam * 0.5, 1e-12)
         accept = new_cost < cur
-        # Ceres-style convergence: accepted step with tiny relative decrease
+        # Ceres-style convergence on relative cost change — in BOTH
+        # directions: once |Δcost| is below tolerance the step is inside the
+        # f32 cost-evaluation noise floor and further iterations only churn
+        # (accepted-only tests keep grinding there for tens of iterations).
         rel_dec = (cur - new_cost) / jnp.maximum(cur, 1e-20)
-        done = (accept & (rel_dec < cfg.function_tolerance)) | (lam > 1e7)
+        done = (jnp.abs(rel_dec) < cfg.function_tolerance) | (lam > 1e7)
         p = jnp.where(accept, cand, p)
         lam = jnp.where(accept, lam_next, jnp.minimum(lam * 10.0, 1e8))
         cur = jnp.where(accept, new_cost, cur)

@@ -29,7 +29,8 @@ def _nn_sq_dists(src: PointCloud, ref: PointCloud):
     d2 = (
         jnp.sum(src.xy ** 2, 1)[:, None]
         + jnp.sum(ref.xy ** 2, 1)[None, :]
-        - 2.0 * src.xy @ ref.xy.T
+        - 2.0 * jnp.matmul(src.xy, ref.xy.T,
+                           precision=jax.lax.Precision.HIGHEST)
     )
     d2 = jnp.where(ref.mask[None, :], d2, jnp.inf)
     return jnp.min(d2, axis=1)
@@ -61,7 +62,8 @@ def p2d_quality(src: PointCloud, cells: Cells, radius: float = 2.0,
     d2 = (
         jnp.sum(src.xy ** 2, 1)[:, None]
         + jnp.sum(cells.mean ** 2, 1)[None, :]
-        - 2.0 * src.xy @ cells.mean.T
+        - 2.0 * jnp.matmul(src.xy, cells.mean.T,
+                           precision=jax.lax.Precision.HIGHEST)
     )
     d2 = jnp.where(cells.valid[None, :], d2, jnp.inf)
     nn = jnp.argmin(d2, axis=1)

@@ -67,11 +67,16 @@ class Associations:
 
 
 def _pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Squared distances [N, M] between point sets [N,2] and [M,2]."""
+    """Squared distances [N, M] between point sets [N,2] and [M,2].
+
+    The cross term MUST run at full f32 matmul precision: the TPU MXU's
+    default bf16 passes put O(100 m^2) errors on |a|~100 m coordinates,
+    which breaks every radius gate downstream.
+    """
     return (
         jnp.sum(a * a, axis=1)[:, None]
         + jnp.sum(b * b, axis=1)[None, :]
-        - 2.0 * a @ b.T
+        - 2.0 * jnp.matmul(a, b.T, precision=jax.lax.Precision.HIGHEST)
     )
 
 

@@ -145,3 +145,43 @@ def test_solvers_agree(rng):
     assert abs(float(a.cost) - float(b.cost)) < 1e-2 * max(float(a.cost), 1.0)
     np.testing.assert_allclose(np.asarray(a.poses)[:, :2],
                                np.asarray(b.poses)[:, :2], atol=0.05)
+
+
+def test_schur_solver_matches_cholesky(rng):
+    """The chain+Woodbury direct solver must match the dense path."""
+    cfg = PGOConfig()
+    gt, poses, rels = _simulated_loop_graph(rng)
+    n = len(poses)
+    edges = _build_edges(rels, gt, n, cfg, loop_pairs=[(0, n - 1), (3, n - 4)])
+    a = posegraph.optimize(jnp.asarray(poses, jnp.float32),
+                           jnp.ones((n,), bool), edges, cfg, solver="cholesky")
+    b = posegraph.optimize(jnp.asarray(poses, jnp.float32),
+                           jnp.ones((n,), bool), edges, cfg, solver="schur",
+                           loop_cap=4)
+    assert abs(float(a.cost) - float(b.cost)) < 1e-3 * max(float(a.cost), 1.0)
+    np.testing.assert_allclose(np.asarray(a.poses)[:, :2],
+                               np.asarray(b.poses)[:, :2], atol=0.02)
+
+
+def test_partitioned_tridiag_solve_matches_dense(rng):
+    n = 32
+    D = np.zeros((n, 3, 3))
+    O = np.zeros((n, 3, 3))
+    for i in range(n):
+        a = rng.normal(size=(3, 3))
+        D[i] = a @ a.T + 5 * np.eye(3)
+    for i in range(n - 1):
+        O[i] = 0.3 * rng.normal(size=(3, 3))
+    T = np.zeros((3 * n, 3 * n))
+    for i in range(n):
+        T[3 * i:3 * i + 3, 3 * i:3 * i + 3] = D[i]
+        if i < n - 1:
+            T[3 * i:3 * i + 3, 3 * i + 3:3 * i + 6] = O[i]
+            T[3 * i + 3:3 * i + 6, 3 * i:3 * i + 3] = O[i].T
+    b = rng.normal(size=(n, 3, 4))
+    for seg in (4, 8, 16):
+        x = np.asarray(posegraph._partitioned_tridiag_solve(
+            jnp.asarray(D, jnp.float32), jnp.asarray(O, jnp.float32),
+            jnp.asarray(b, jnp.float32), seg=seg))
+        xd = np.linalg.solve(T, b.reshape(3 * n, 4))
+        np.testing.assert_allclose(x.reshape(3 * n, 4), xd, atol=1e-3)
