@@ -130,3 +130,80 @@ def make_sequence(num_frames: int = 60, seed: int = 0, *, num_azimuths: int = 40
     ])
     return SimSequence(images=imgs, gt_poses=traj, range_res=range_res,
                        num_azimuths=num_azimuths, num_range_bins=num_range_bins)
+
+
+@dataclasses.dataclass
+class PGOInstance:
+    """A synthetic TBV-scale pose-graph instance (double-lap circuit).
+
+    Mirrors the reference's Oxford evaluation graph shape: an odometry chain
+    with realistic drift noise plus loop-closure edges at revisits
+    (ceresoptimizer.cpp operates on ~4471 keyframes, one chain + sparse
+    loops).  Used by bench.py stage 3 and the PGO regression tests.
+    """
+
+    poses: np.ndarray  # [N, 3] odometry-composed initial estimate
+    gt: np.ndarray  # [N, 3]
+    idx: np.ndarray  # [E_cap, 2]
+    meas: np.ndarray  # [E_cap, 3]
+    etype: np.ndarray  # [E_cap]
+    mask: np.ndarray  # [E_cap] bool
+    n_loops: int
+
+    @property
+    def loop_cap(self) -> int:
+        return max(((self.n_loops + 63) // 64) * 64, 64)
+
+
+def make_pgo_instance(n_nodes: int, seed: int = 0, *, keyframe_dist: float = 1.5,
+                      odo_sigma=(0.03, 0.03, 0.003),
+                      loop_sigma=(0.05, 0.05, 0.005),
+                      loop_stride: int = 7, edge_chunk: int = 1024,
+                      odometry_type: int = 0,
+                      loop_type: int = 2) -> PGOInstance:
+    """Closed circuit traversed twice at keyframe spacing, noisy odometry
+    composed into a drifting initial estimate (anchored at gt[0] so the gauge
+    matches GT — ADVICE r1: never compare ATE across a constant gauge offset),
+    ground-truth-consistent loop edges every ``loop_stride`` keyframes on the
+    second lap."""
+    rng = np.random.default_rng(seed)
+    per_lap = n_nodes // 2
+    circ_r = per_lap * keyframe_dist / (2 * np.pi)
+    gt = np.zeros((n_nodes, 3), np.float32)
+    for i in range(n_nodes):
+        a = 2 * np.pi * (i % per_lap) / per_lap
+        gt[i] = [circ_r * np.cos(a), circ_r * np.sin(a), a + np.pi / 2]
+
+    def _rel(a, b):
+        c, s = np.cos(a[2]), np.sin(a[2])
+        d = b[:2] - a[:2]
+        th = (b[2] - a[2] + np.pi) % (2 * np.pi) - np.pi
+        return np.array([c * d[0] + s * d[1], -s * d[0] + c * d[1], th],
+                        np.float32)
+
+    def _comp(a, t):
+        c, s = np.cos(a[2]), np.sin(a[2])
+        return np.array([a[0] + c * t[0] - s * t[1],
+                         a[1] + s * t[0] + c * t[1], a[2] + t[2]], np.float32)
+
+    odo = [_rel(gt[i], gt[i + 1]) + rng.normal(0, odo_sigma).astype(np.float32)
+           for i in range(n_nodes - 1)]
+    poses = np.zeros((n_nodes, 3), np.float32)
+    poses[0] = gt[0]
+    for i in range(n_nodes - 1):
+        poses[i + 1] = _comp(poses[i], odo[i])
+    loop_pairs = [(i, i - per_lap) for i in range(per_lap, n_nodes, loop_stride)]
+    e = n_nodes - 1 + len(loop_pairs)
+    e_cap = max(((e + edge_chunk - 1) // edge_chunk) * edge_chunk, edge_chunk)
+    idx = np.zeros((e_cap, 2), np.int32)
+    meas = np.zeros((e_cap, 3), np.float32)
+    etype = np.zeros((e_cap,), np.int32)
+    mask = np.zeros((e_cap,), bool)
+    for i in range(n_nodes - 1):
+        idx[i], meas[i], etype[i], mask[i] = (i, i + 1), odo[i], odometry_type, True
+    for k, (a, b) in enumerate(loop_pairs):
+        j = n_nodes - 1 + k
+        idx[j], etype[j], mask[j] = (a, b), loop_type, True
+        meas[j] = _rel(gt[a], gt[b]) + rng.normal(0, loop_sigma)
+    return PGOInstance(poses=poses, gt=gt, idx=idx, meas=meas, etype=etype,
+                       mask=mask, n_loops=len(loop_pairs))
