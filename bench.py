@@ -1,27 +1,40 @@
 #!/usr/bin/env python
 """Benchmark: loop-candidate register+verify throughput per chip (headline),
-odometry frame latency and PGO wall-clock, vs the reference's CPU numbers.
+odometry frame latency and PGO wall-clock + loop-closure ATE correction,
+vs the reference's CPU numbers.
 
 Reference baselines (BASELINE.md, job_0/time_statistics.txt):
 - loop candidate registration 8.5 ms + verification 24.4 ms sequential
   => 30.4 candidates/s,
 - odometry real-time bound: 4 Hz sensor,
-- final pose-graph optimization: 980.8 ms.
+- final pose-graph optimization: 980.8 ms (one ~4471-keyframe Ceres solve),
+- Oxford 10-12-32 ATE: odometry 7.29 m -> SLAM 4.07 m.
 
-Prints ONE JSON line with the headline metric; extra stages are nested under
-"extra".  Run with --small for a CPU smoke test.
+Evidence resilience (VERDICT r1 #1): every stage runs under its own
+try/except; partial results are flushed to stderr as each stage completes,
+and the final JSON line is ALWAYS printed with whatever succeeded.  A stage
+crash costs that stage's metrics, not the round's record.
+
+Run with --small for a CPU smoke test.
 """
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+import traceback
 
 import numpy as np
 
 BASE_CANDS_PER_S = 1000.0 / (8.5 + 24.4)  # reference sequential loop pipeline
 BASE_PGO_MS = 980.8
 BASE_ODOM_MS = 250.0  # 4 Hz sensor period (real-time bound)
+
+FIXTURE_GT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tests", "fixtures",
+                          "oxford_10-12-32_keyframe_gt.npz")
 
 
 def _timeit(fn, iters=10):
@@ -35,8 +48,6 @@ def _timeit(fn, iters=10):
 
 
 def _enable_compile_cache():
-    import os
-
     import jax
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -50,8 +61,6 @@ def _enable_compile_cache():
 
 
 def _stage(msg):
-    import sys
-
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
@@ -61,6 +70,8 @@ def main():
     ap.add_argument("--batch", type=int, default=32, help="candidate batch")
     ap.add_argument("--full", action="store_true",
                     help="include the batched-odometry stage")
+    ap.add_argument("--pgo-solver", default="schur",
+                    choices=["schur", "cholesky", "cg"])
     args = ap.parse_args()
 
     _enable_compile_cache()
@@ -71,11 +82,26 @@ def main():
                                                  RadarConfig,
                                                  RegistrationConfig, TBVConfig,
                                                  VerificationConfig)
-    from tbv_slam_public_tpu.core.types import LOOP_APPEARANCE, ODOMETRY
     from tbv_slam_public_tpu.io import simulate
     from tbv_slam_public_tpu.models import loopclosure as lc
     from tbv_slam_public_tpu.models import odometry
     from tbv_slam_public_tpu.ops import features, logistic, posegraph, radar
+
+    extra = {"backend": jax.devices()[0].platform}
+    headline = None  # (metric, value, unit, vs_baseline)
+
+    def flush_partial():
+        print("[bench] partial: " + json.dumps(extra), file=sys.stderr,
+              flush=True)
+
+    def run_stage(name, fn):
+        _stage(f"stage: {name}")
+        try:
+            fn()
+        except Exception:
+            extra[f"{name}_error"] = traceback.format_exc(limit=3)
+            _stage(f"stage {name} FAILED:\n{extra[f'{name}_error']}")
+        flush_partial()
 
     if args.small:
         cfg = TBVConfig(
@@ -87,7 +113,7 @@ def main():
             verification=VerificationConfig(peaks_capacity=512),
         )
         batch = min(args.batch, 8)
-        n_nodes = 128
+        pgo_nodes = 512
     else:
         # Oxford CTS350-X scale (radar_driver.h:41-43)
         cfg = TBVConfig(
@@ -97,7 +123,7 @@ def main():
             verification=VerificationConfig(peaks_capacity=1024),
         )
         batch = args.batch
-        n_nodes = 4096  # the reference's Oxford run optimizes ~4471 keyframes
+        pgo_nodes = None  # reference keyframe count (the Oxford GT fixture)
 
     rng = np.random.default_rng(0)
     world = simulate.make_world(rng, num_walls=80,
@@ -115,125 +141,142 @@ def main():
         return img, cloud, peaks_v, cells
 
     # ---- stage 1: odometry frame step ------------------------------------
-    _stage("stage 1: odometry step")
-    state = odometry.init_state(cfg)
-    img0, *_ = scan_at([0.0, 0.0, 0.0])
-    img1, *_ = scan_at([1.0, 0.1, 0.01])
-    state, _ = odometry.first_frame(state, jnp.asarray(img0), cfg)
-    image = jnp.asarray(img1)
-    odom_ms = _timeit(
-        lambda: odometry.odometry_step(state, image, cfg)[1].pose) * 1e3
+    state = {}
+
+    def stage_odometry():
+        ostate = odometry.init_state(cfg)
+        img0, *_ = scan_at([0.0, 0.0, 0.0])
+        img1, *_ = scan_at([1.0, 0.1, 0.01])
+        ostate, _ = odometry.first_frame(ostate, jnp.asarray(img0), cfg)
+        image = jnp.asarray(img1)
+        odom_ms = _timeit(
+            lambda: odometry.odometry_step(ostate, image, cfg)[1].pose) * 1e3
+        extra["odometry_step_ms"] = round(odom_ms, 2)
+        extra["odometry_vs_realtime"] = round(BASE_ODOM_MS / odom_ms, 2)
+        state["ostate"], state["image"] = ostate, image
+
+    run_stage("odometry", stage_odometry)
 
     # ---- stage 1b (--full): batched multi-sequence odometry --------------
-    odom_fps_batched = None
-    b_seq = 8 if args.small else 16
-    if args.full:
-        _stage("stage 1b: batched odometry")
-        bstate = jax.tree.map(lambda x: jnp.stack([x] * b_seq), state)
-        bimage = jnp.stack([image] * b_seq)
+    def stage_odometry_batched():
+        b_seq = 8 if args.small else 16
+        bstate = jax.tree.map(lambda x: jnp.stack([x] * b_seq),
+                              state["ostate"])
+        bimage = jnp.stack([state["image"]] * b_seq)
         bodom_ms = _timeit(
             lambda: odometry.batched_odometry_step(bstate, bimage, cfg)[1].pose
         ) * 1e3
-        odom_fps_batched = b_seq / (bodom_ms / 1e3)
+        extra["odometry_frames_per_s_batched"] = round(
+            b_seq / (bodom_ms / 1e3), 1)
+        extra["odometry_batch"] = b_seq
+
+    if args.full and "ostate" in state:
+        run_stage("odometry_batched", stage_odometry_batched)
 
     # ---- stage 2: batched loop candidate register+verify -----------------
-    _stage("stage 2: candidate wave")
-    _, _, q_peaks, q_cells = scan_at([0.0, 0.0, 0.0])
-    cands = [scan_at([2.0 * (i % 5), 1.5 * (i % 3), 0.1 * i])
-             for i in range(batch)]
-    c_peaks = jax.tree.map(lambda *x: jnp.stack(x), *[c[2] for c in cands])
-    c_cells = jax.tree.map(lambda *x: jnp.stack(x), *[c[3] for c in cands])
-    align_model = logistic.from_values(cfg.verification.alignment_coefs[0],
-                                       cfg.verification.alignment_coefs[1:])
-    loop_model = logistic.from_values(cfg.verification.loop_coefs[0],
-                                      cfg.verification.loop_coefs[1:])
-    zeros = jnp.zeros((batch,))
+    def stage_candidates():
+        nonlocal headline
+        _, _, q_peaks, q_cells = scan_at([0.0, 0.0, 0.0])
+        cands = [scan_at([2.0 * (i % 5), 1.5 * (i % 3), 0.1 * i])
+                 for i in range(batch)]
+        c_peaks = jax.tree.map(lambda *x: jnp.stack(x), *[c[2] for c in cands])
+        c_cells = jax.tree.map(lambda *x: jnp.stack(x), *[c[3] for c in cands])
+        align_model = logistic.from_values(cfg.verification.alignment_coefs[0],
+                                           cfg.verification.alignment_coefs[1:])
+        loop_model = logistic.from_values(cfg.verification.loop_coefs[0],
+                                          cfg.verification.loop_coefs[1:])
+        zeros = jnp.zeros((batch,))
 
-    def cand_wave():
-        return lc.register_and_verify(
-            q_cells, q_peaks, c_cells, c_peaks, jnp.zeros((batch, 3)), zeros,
-            0.2 + zeros, 0.1 + zeros, jnp.ones((batch,), bool),
-            align_model, loop_model, cfg).prob
+        def cand_wave():
+            return lc.register_and_verify(
+                q_cells, q_peaks, c_cells, c_peaks, jnp.zeros((batch, 3)),
+                zeros, 0.2 + zeros, 0.1 + zeros, jnp.ones((batch,), bool),
+                align_model, loop_model, cfg).prob
 
-    wave_s = _timeit(cand_wave)
-    cands_per_s = batch / wave_s
+        wave_s = _timeit(cand_wave)
+        cands_per_s = batch / wave_s
+        extra["candidate_batch"] = batch
+        extra["loop_candidates_per_s"] = round(cands_per_s, 2)
+        headline = ("loop_candidates_per_s", round(cands_per_s, 2),
+                    "candidates/s/chip",
+                    round(cands_per_s / BASE_CANDS_PER_S, 2))
 
-    # ---- stage 3: pose-graph optimization --------------------------------
-    # TBV-like instance at the reference's graph scale (Oxford run: ~4471
-    # keyframes, one 980.8 ms Ceres solve): a closed circuit traversed
-    # twice, 1.5 m keyframes, drifting odometry, loop edges at revisits.
-    _stage("stage 3: pose-graph optimization")
-    from tbv_slam_public_tpu.core import se2 as se2_op
+    run_stage("candidate_wave", stage_candidates)
 
-    pgo_cfg = PGOConfig()
-    per_lap = n_nodes // 2
-    circ_r = per_lap * 1.5 / (2 * np.pi)
-    gt_nodes = np.zeros((n_nodes, 3), np.float32)
-    for i in range(n_nodes):
-        a = 2 * np.pi * (i % per_lap) / per_lap
-        gt_nodes[i] = [circ_r * np.cos(a), circ_r * np.sin(a),
-                       a + np.pi / 2]
-    odo = []
-    for i in range(n_nodes - 1):
-        rel = np.asarray(se2_op.relative(jnp.asarray(gt_nodes[i]),
-                                         jnp.asarray(gt_nodes[i + 1])))
-        odo.append(rel + rng.normal(0, [0.03, 0.03, 0.003]))
-    poses = np.zeros((n_nodes, 3), np.float32)
-    for i in range(n_nodes - 1):
-        poses[i + 1] = np.asarray(se2_op.compose(jnp.asarray(poses[i]),
-                                                 jnp.asarray(odo[i],
-                                                             jnp.float32)))
-    loop_pairs = [(i, i - per_lap) for i in range(per_lap, n_nodes, 7)]
-    e_cap = ((n_nodes - 1 + len(loop_pairs) + 1023) // 1024) * 1024
-    idx = np.zeros((e_cap, 2), np.int32)
-    meas = np.zeros((e_cap, 3), np.float32)
-    etype = np.zeros((e_cap,), np.int32)
-    mask = np.zeros((e_cap,), bool)
-    for i in range(n_nodes - 1):
-        idx[i], meas[i], etype[i], mask[i] = (i, i + 1), odo[i], ODOMETRY, True
-    for k, (a, b) in enumerate(loop_pairs):
-        j = n_nodes - 1 + k
-        rel = np.asarray(se2_op.relative(jnp.asarray(gt_nodes[a]),
-                                         jnp.asarray(gt_nodes[b])))
-        idx[j], etype[j], mask[j] = (a, b), LOOP_APPEARANCE, True
-        meas[j] = rel + rng.normal(0, [0.05, 0.05, 0.005])
-    sqrt_info = np.asarray(posegraph.default_sqrt_info(jnp.asarray(etype),
-                                                       pgo_cfg))
-    edges = posegraph.make_edges(idx, meas, sqrt_info, etype, mask)
-    jposes = jnp.asarray(poses)
-    nmask = jnp.ones((n_nodes,), bool)
-    loop_cap = max(((len(loop_pairs) + 63) // 64) * 64, 64)
-    pgo_ms = _timeit(
-        lambda: posegraph.optimize(jposes, nmask, edges, pgo_cfg,
-                                   solver="schur",
-                                   loop_cap=loop_cap).poses, iters=5) * 1e3
-    pgo_res = posegraph.optimize(jposes, nmask, edges, pgo_cfg,
-                                 solver="schur", loop_cap=loop_cap)
-    est_n = np.asarray(pgo_res.poses)
-    pgo_ate0 = float(np.sqrt(np.mean(np.sum(
-        (poses[:, :2] - gt_nodes[:, :2]) ** 2, 1))))
-    pgo_ate = float(np.sqrt(np.mean(np.sum(
-        (est_n[:, :2] - gt_nodes[:, :2]) ** 2, 1))))
+    # ---- stage 3: pose-graph optimization at reference scale -------------
+    # The realistic-drift instance: the reference's own published Oxford
+    # 10-12-32 keyframe GT route (4470 keyframes, real revisit structure)
+    # with calibrated radar-odometry drift and revisit loop edges
+    # (tests/fixtures; VERDICT r1 #2).  Reference final PGO: 980.8 ms
+    # (job_0/time_statistics.txt:1-3); reference ATE: odom 7.29 -> est
+    # 4.07 m (job_0 result.txt).
+    def stage_pgo():
+        pgo_cfg = PGOConfig()
+        if pgo_nodes is None and os.path.exists(FIXTURE_GT):
+            gt_traj = np.load(FIXTURE_GT)["gt"]
+        elif pgo_nodes is None:
+            raise FileNotFoundError(FIXTURE_GT)
+        else:
+            # --small: down-sampled synthetic circuit
+            gt_traj = None
+        if gt_traj is not None:
+            inst = simulate.make_trajectory_pgo_instance(gt_traj, seed=0)
+        else:
+            inst = simulate.make_pgo_instance(pgo_nodes, seed=0)
+        n = len(inst.poses)
+        # pad the node axis to a multiple of 32 so the schur solver's
+        # partitioned tridiagonal factorization gets its segment size
+        ncap = ((n + 31) // 32) * 32
+        poses = np.zeros((ncap, 3), np.float32)
+        poses[:n] = inst.poses
+        gt_pad = np.zeros((ncap, 3), np.float32)
+        gt_pad[:n] = inst.gt
+        nmask = np.zeros((ncap,), bool)
+        nmask[:n] = True
+        sqrt_info = np.asarray(posegraph.default_sqrt_info(
+            jnp.asarray(inst.etype), pgo_cfg))
+        edges = posegraph.make_edges(inst.idx, inst.meas, sqrt_info,
+                                     inst.etype, inst.mask)
+        jposes = jnp.asarray(poses)
+        jnmask = jnp.asarray(nmask)
+        solver = args.pgo_solver
+        loop_cap = inst.loop_cap if solver == "schur" else None
 
-    result = {
-        "metric": "loop_candidates_per_s",
-        "value": round(cands_per_s, 2),
-        "unit": "candidates/s/chip",
-        "vs_baseline": round(cands_per_s / BASE_CANDS_PER_S, 2),
-        "extra": {
-            "odometry_step_ms": round(odom_ms, 2),
-            "odometry_vs_realtime": round(BASE_ODOM_MS / odom_ms, 2),
-            **({"odometry_frames_per_s_batched": round(odom_fps_batched, 1),
-                "odometry_batch": b_seq} if odom_fps_batched else {}),
-            f"pgo_{n_nodes}node_ms": round(pgo_ms, 2),
-            "pgo_vs_baseline": round(BASE_PGO_MS / pgo_ms, 2),
-            "pgo_ate_before_m": round(pgo_ate0, 2),
-            "pgo_ate_after_m": round(pgo_ate, 2),
-            "pgo_iterations": int(pgo_res.iterations),
-            "candidate_batch": batch,
-            "backend": jax.devices()[0].platform,
-        },
-    }
+        def solve():
+            return posegraph.optimize(jposes, jnmask, edges, pgo_cfg,
+                                      solver=solver, loop_cap=loop_cap).poses
+
+        pgo_res = posegraph.optimize(jposes, jnmask, edges, pgo_cfg,
+                                     solver=solver, loop_cap=loop_cap)
+        est_n = np.asarray(pgo_res.poses)[:n]
+        ate0 = float(np.sqrt(np.mean(np.sum(
+            (inst.poses[:, :2] - inst.gt[:, :2]) ** 2, 1))))
+        ate1 = float(np.sqrt(np.mean(np.sum(
+            (est_n[:, :2] - inst.gt[:, :2]) ** 2, 1))))
+        extra[f"pgo_{n}node_ate_before_m"] = round(ate0, 2)
+        extra[f"pgo_{n}node_ate_after_m"] = round(ate1, 2)
+        extra["pgo_iterations"] = int(pgo_res.iterations)
+        extra["pgo_solver"] = solver
+        extra["pgo_n_loops"] = int(inst.n_loops)
+        flush_partial()
+        pgo_ms = _timeit(solve, iters=5) * 1e3
+        extra[f"pgo_{n}node_ms"] = round(pgo_ms, 2)
+        extra["pgo_vs_baseline"] = round(BASE_PGO_MS / pgo_ms, 2)
+
+    run_stage("pgo", stage_pgo)
+
+    if headline is None:
+        # candidate stage failed — fall back to any stage that produced a
+        # number so the round still records a metric
+        if "odometry_step_ms" in extra:
+            headline = ("odometry_step_ms", extra["odometry_step_ms"], "ms",
+                        extra["odometry_vs_realtime"])
+        else:
+            headline = ("bench_failed", 0.0, "n/a", 0.0)
+
+    metric, value, unit, vs = headline
+    result = {"metric": metric, "value": value, "unit": unit,
+              "vs_baseline": vs, "extra": extra}
     print(json.dumps(result))
 
 

@@ -92,6 +92,10 @@ class OdometryConfig:
     sensor_period: float = 0.25  # 4 Hz radar
     vel_limit: float = 200.0
     acc_limit: float = 200.0
+    # constraint covariance source: "default" = identity-scaled
+    # (n_scan_normal.cpp:171-175), "sampled" = C7 grid sampling, "ceres" =
+    # GN-Hessian-inverse with Censi score scaling (n_scan_normal.cpp:390-431)
+    cov_source: str = "default"
     # C7 sampled covariance (odometrykeyframefuser.h:106-110)
     use_sampled_covariance: bool = False
     cov_sampling_xy_range: float = 0.4
@@ -195,6 +199,10 @@ class PGOConfig:
     cg_tol: float = 1e-6
     init_lambda: float = 1e-6
     edge_capacity_chunk: int = 1024
+    # Online-mode periodic optimization: run a PGO epoch every K keyframes
+    # during the run (the OptimizerThread cadence, posegraph.cpp:132-149,
+    # made deterministic).  0 = optimize only at finish (offline parity).
+    optimize_every: int = 0
 
 
 @dataclass(frozen=True)

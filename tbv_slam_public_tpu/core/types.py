@@ -85,13 +85,15 @@ class GraphEdges:
 
     Replaces vector<Constraint3d> (types.h:198-254).  ``meas`` is the relative
     pose t_be of node ``idx[:,1]`` ("end") expressed in the frame of node
-    ``idx[:,0]`` ("begin").  ``sqrt_info`` holds per-edge diagonal sqrt
-    information for (x, y, theta).
+    ``idx[:,0]`` ("begin").  ``sqrt_info`` holds per-edge full 3x3 whitening
+    matrices for (x, y, theta) — diagonal under replace_cov_by_identity, a
+    Cholesky factor of the measured information otherwise (construct via
+    ops.posegraph.make_edges, which also accepts the diagonal [E, 3] form).
     """
 
     idx: jnp.ndarray  # [E, 2] int32 — (id_begin, id_end)
     meas: jnp.ndarray  # [E, 3] float32 — relative SE(2) measurement
-    sqrt_info: jnp.ndarray  # [E, 3] float32 — diagonal sqrt information
+    sqrt_info: jnp.ndarray  # [E, 3, 3] float32 — whitening (sqrt information)
     etype: jnp.ndarray  # [E] int32 — ODOMETRY / LOOP_APPEARANCE / ...
     mask: jnp.ndarray  # [E] bool
 

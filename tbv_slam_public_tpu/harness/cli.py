@@ -156,7 +156,7 @@ def cmd_slam(args, overrides: List[str]) -> int:
             loops_eval.write_result_txt(
                 os.path.join(args.output, "loop", "result.txt"), cm)
     checkpoint.save_full_graph(os.path.join(args.output, "full_graph.npz"),
-                               slam.graph)
+                               slam.graph, slam=slam)
     if gt is not None:
         from ..eval import plots
 
@@ -188,7 +188,8 @@ def cmd_online(args, overrides: List[str]) -> int:
     os.makedirs(args.output, exist_ok=True)
     timing.reset()
 
-    slam = TBVSLAM(cfg)
+    slam = TBVSLAM(cfg, train_alignment=getattr(args, "train_alignment",
+                                                False))
     n = 0
     for fr in frames:
         if args.max_frames and n >= args.max_frames:
@@ -196,12 +197,15 @@ def cmd_online(args, overrides: List[str]) -> int:
         slam.process_frame(fr.image, stamp=fr.stamp, gt_pose=fr.gt_pose)
         n += 1
     s = slam.finish(optimize=True)
+    if slam.alignment_learner is not None:
+        slam.alignment_learner.save(
+            os.path.join(args.output, "trained_alignment_classifier.txt"))
     est = slam.graph.poses_array()
     gt = slam.graph.gt_array()
     metrics = _export_trajectories(args.output, est, gt, slam.graph.stamps,
                                    "est")
     checkpoint.save_full_graph(os.path.join(args.output, "full_graph.npz"),
-                               slam.graph)
+                               slam.graph, slam=slam)
     _write_pars(cfg, args.output)
     _write_timing(args.output)
     print(json.dumps({**(s.metrics or {}), **metrics, "frames": n,
@@ -408,6 +412,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--dataset", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--train-alignment", action="store_true",
+                   help="train the alignment classifier during the run "
+                        "(tbv_slam_online.cpp:185-188)")
     p.set_defaults(fn=cmd_online)
 
     p = sub.add_parser("reoptimize")

@@ -74,9 +74,12 @@ def _scan_files(radar_dir: str) -> List[Tuple[float, str]]:
             continue
         stem = name[:-4]
         try:
-            stamp = int(stem) * 1e-6  # microsecond timestamps
+            raw = int(stem)
         except ValueError:
             continue
+        # Oxford stamps pngs in microseconds (16 digits), MulRan in
+        # nanoseconds (19 digits) — infer the unit from the magnitude.
+        stamp = raw * (1e-9 if raw > 10 ** 17 else 1e-6)
         out.append((stamp, os.path.join(radar_dir, name)))
     return out
 
@@ -95,6 +98,30 @@ def read_radar_odometry_gt(path: str) -> np.ndarray:
                 float(r["x"]), float(r["y"]), float(r["yaw"]),
             ))
     return np.asarray(rows, np.float64)
+
+
+def read_mulran_global_pose(path: str) -> np.ndarray:
+    """MulRan ``global_pose.csv`` -> [N, 4] stamped planar world poses
+    (stamp_s, x, y, yaw), rebased to the first pose.
+
+    Format: nanosecond timestamp + the first 3 rows of the 4x4 world pose,
+    row-major (13 columns).  The reference flattens GT to the plane and
+    rebases to the first pose at ingestion (offline_odometry.cpp:80-96);
+    same here: p_i' = T_0^{-1} * T_i restricted to SE(2).
+    """
+    raw = np.loadtxt(path, delimiter=",", dtype=np.float64)
+    raw = np.atleast_2d(raw)
+    stamps = raw[:, 0] * 1e-9
+    m = raw[:, 1:13].reshape(-1, 3, 4)
+    yaw = np.arctan2(m[:, 1, 0], m[:, 0, 0])
+    x, y = m[:, 0, 3], m[:, 1, 3]
+    # rebase: T0^{-1} compose
+    c0, s0 = np.cos(yaw[0]), np.sin(yaw[0])
+    dx, dy = x - x[0], y - y[0]
+    xr = c0 * dx + s0 * dy
+    yr = -s0 * dx + c0 * dy
+    yawr = np.arctan2(np.sin(yaw - yaw[0]), np.cos(yaw - yaw[0]))
+    return np.stack([stamps, xr, yr, yawr], -1)
 
 
 def integrate_relative_gt(rel: np.ndarray) -> np.ndarray:
@@ -119,7 +146,9 @@ class OxfordSequence:
         self.flavor = flavor
         radar_dir = os.path.join(root, "radar")
         if not os.path.isdir(radar_dir):
-            radar_dir = root  # flat directory of pngs
+            # MulRan release layout
+            mulran_dir = os.path.join(root, "sensor_data", "radar", "polar")
+            radar_dir = mulran_dir if os.path.isdir(mulran_dir) else root
         self.files = _scan_files(radar_dir)
         if not self.files:
             raise FileNotFoundError(f"no radar pngs under {root}")
@@ -127,6 +156,15 @@ class OxfordSequence:
         gt_csv = os.path.join(root, "gt", "radar_odometry.csv")
         if os.path.exists(gt_csv):
             self.gt = integrate_relative_gt(read_radar_odometry_gt(gt_csv))
+        else:
+            # MulRan layout: global_pose.csv at the sequence root (or one
+            # level up from sensor_data/radar/polar)
+            for cand in (os.path.join(root, "global_pose.csv"),
+                         os.path.join(root, "..", "global_pose.csv"),
+                         os.path.join(root, "..", "..", "global_pose.csv")):
+                if os.path.exists(cand):
+                    self.gt = read_mulran_global_pose(cand)
+                    break
 
     def __len__(self) -> int:
         return len(self.files)

@@ -207,3 +207,95 @@ def make_pgo_instance(n_nodes: int, seed: int = 0, *, keyframe_dist: float = 1.5
         meas[j] = _rel(gt[a], gt[b]) + rng.normal(0, loop_sigma)
     return PGOInstance(poses=poses, gt=gt, idx=idx, meas=meas, etype=etype,
                        mask=mask, n_loops=len(loop_pairs))
+
+
+def _se2_rel(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    c, s = np.cos(a[2]), np.sin(a[2])
+    d = b[:2] - a[:2]
+    th = (b[2] - a[2] + np.pi) % (2 * np.pi) - np.pi
+    return np.array([c * d[0] + s * d[1], -s * d[0] + c * d[1], th],
+                    np.float32)
+
+
+def _se2_comp(a: np.ndarray, t: np.ndarray) -> np.ndarray:
+    c, s = np.cos(a[2]), np.sin(a[2])
+    return np.array([a[0] + c * t[0] - s * t[1],
+                     a[1] + s * t[0] + c * t[1], a[2] + t[2]], np.float32)
+
+
+def load_reference_keyframe_gt(path: str) -> np.ndarray:
+    """Read a KITTI-format keyframe trajectory (3x4 row-major per line, the
+    reference's gt/00.txt layout, eval_trajectory.cpp:254-311) into planar
+    SE(2) poses [N, 3] (x, y, yaw)."""
+    m = np.loadtxt(path, dtype=np.float64).reshape(-1, 3, 4)
+    yaw = np.arctan2(m[:, 1, 0], m[:, 0, 0])
+    return np.stack([m[:, 0, 3], m[:, 1, 3], yaw], -1).astype(np.float32)
+
+
+def find_loop_pairs(gt: np.ndarray, *, max_dist: float = 6.0,
+                    min_idx_gap: int = 100, stride: int = 3) -> list:
+    """Revisit pairs on a real trajectory: for every ``stride``-th keyframe,
+    the nearest earlier keyframe at least ``min_idx_gap`` behind and within
+    ``max_dist`` (the loop-label geometry of EvaluationManager.cpp:12-27).
+    Vectorized [N, N] distance program — N ~ 4.5k keyframes is small."""
+    d = np.linalg.norm(gt[:, None, :2] - gt[None, :, :2], axis=-1)
+    n = len(gt)
+    i_idx = np.arange(n)
+    far = i_idx[None, :] > i_idx[:, None] - min_idx_gap  # mask out recents
+    d = np.where(far, np.inf, d)
+    nn = np.argmin(d, axis=1)
+    ok = d[i_idx, nn] < max_dist
+    return [(int(i), int(nn[i])) for i in range(0, n, stride) if ok[i]]
+
+
+def make_trajectory_pgo_instance(
+        gt: np.ndarray, seed: int = 0, *,
+        odo_sigma=(0.02, 0.02, 7e-4),
+        yaw_bias_rw: float = 3e-7,
+        loop_sigma=(0.15, 0.15, 0.01),
+        max_dist: float = 6.0, min_idx_gap: int = 100, loop_stride: int = 2,
+        edge_chunk: int = 1024, odometry_type: int = 0,
+        loop_type: int = 2) -> PGOInstance:
+    """Realistic-drift pose-graph instance on a REAL route geometry.
+
+    ``gt`` [N, 3] is a real keyframe trajectory (e.g. the reference's
+    published Oxford 10-12-32 keyframe GT).  Odometry edges are GT relative
+    motion corrupted by white noise PLUS a random-walk yaw bias — the
+    signature drift of scan-matching radar odometry (slowly varying heading
+    bias integrating into super-linear position error; CFEAR's Oxford
+    odometry lands at ~7-29 m ATE, BASELINE.md).  Loop edges connect revisit
+    pairs found on the GT route (EvaluationManager 6 m label geometry) with
+    accepted-loop registration accuracy.  The result reproduces the
+    reference's qualitative PGO behavior: odometry ATE >> SLAM ATE
+    (18.5 -> 3.9 m over the 8-sequence Oxford evaluation, SURVEY §6.1).
+    """
+    rng = np.random.default_rng(seed)
+    gt = np.asarray(gt, np.float32)
+    n = len(gt)
+    bias = np.cumsum(rng.normal(0.0, yaw_bias_rw, n - 1))
+    odo = []
+    for i in range(n - 1):
+        e = rng.normal(0, odo_sigma)
+        e[2] += bias[i]
+        odo.append(_se2_rel(gt[i], gt[i + 1]) + e.astype(np.float32))
+    poses = np.zeros((n, 3), np.float32)
+    poses[0] = gt[0]
+    for i in range(n - 1):
+        poses[i + 1] = _se2_comp(poses[i], odo[i])
+    loop_pairs = find_loop_pairs(gt, max_dist=max_dist,
+                                 min_idx_gap=min_idx_gap, stride=loop_stride)
+    e = n - 1 + len(loop_pairs)
+    e_cap = max(((e + edge_chunk - 1) // edge_chunk) * edge_chunk, edge_chunk)
+    idx = np.zeros((e_cap, 2), np.int32)
+    meas = np.zeros((e_cap, 3), np.float32)
+    etype = np.zeros((e_cap,), np.int32)
+    mask = np.zeros((e_cap,), bool)
+    for i in range(n - 1):
+        idx[i], meas[i], etype[i], mask[i] = (i, i + 1), odo[i], \
+            odometry_type, True
+    for k, (a, b) in enumerate(loop_pairs):
+        j = n - 1 + k
+        idx[j], etype[j], mask[j] = (a, b), loop_type, True
+        meas[j] = _se2_rel(gt[a], gt[b]) + rng.normal(0, loop_sigma)
+    return PGOInstance(poses=poses, gt=gt, idx=idx, meas=meas, etype=etype,
+                       mask=mask, n_loops=len(loop_pairs))

@@ -166,7 +166,7 @@ def odometry_step(state: OdometryState, image: jnp.ndarray, cfg: TBVConfig):
     # into that frame (odometrykeyframefuser.cpp:428-445).
     rot = se2.rotmat(-last_kf[2])
     cov = res.cov
-    if ocfg.use_sampled_covariance:
+    if ocfg.use_sampled_covariance or ocfg.cov_source == "sampled":
         cov_s, ok = registration.sampled_covariance(
             store_cells, Tcurrent, kf_cells0, kf_poses0, kf_mask0,
             cfg.registration, res.score, res.num_residuals,
@@ -175,6 +175,12 @@ def odometry_step(state: OdometryState, image: jnp.ndarray, cfg: TBVConfig):
             steps=ocfg.cov_sampling_samples_per_axis,
             cov_scaler=ocfg.cov_sampling_scaler)
         cov = jnp.where(ok, cov_s, cov)
+    elif ocfg.cov_source == "ceres":
+        # Ceres-covariance-style output (n_scan_normal.cpp:390-431)
+        cov_c, ok = registration.ceres_covariance(
+            store_cells, Tcurrent, kf_cells0, kf_poses0, kf_mask0,
+            cfg.registration, res.score, res.num_residuals)
+        cov = jnp.where(ok, cov_c, cov)
     cov_rot = cov.at[:2, :2].set(rot @ cov[:2, :2] @ rot.T)
 
     out = OdometryOutput(

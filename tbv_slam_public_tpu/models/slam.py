@@ -56,10 +56,13 @@ class PoseGraph:
         return len(self.poses) - 1
 
     def add_odometry_constraint(self, id_begin: int, id_end: int,
-                                t_be: np.ndarray) -> None:
+                                t_be: np.ndarray,
+                                cov: Optional[np.ndarray] = None) -> None:
         self.edges.append(dict(idx=(id_begin, id_end),
                                meas=np.asarray(t_be, np.float32),
-                               etype=ODOMETRY))
+                               etype=ODOMETRY,
+                               cov=None if cov is None
+                               else np.asarray(cov, np.float32)))
         # rebase the new node on the optimized begin pose (posegraph.cpp:52-73)
         self.poses[id_end] = np.asarray(
             se2.compose(jnp.asarray(self.poses[id_begin]),
@@ -69,7 +72,9 @@ class PoseGraph:
                             etype: int = LOOP_APPEARANCE) -> None:
         self.edges.append(dict(idx=(c.id_from, c.id_to),
                                meas=np.asarray(c.t_be, np.float32),
-                               etype=etype))
+                               etype=etype,
+                               cov=None if getattr(c, "cov", None) is None
+                               else np.asarray(c.cov, np.float32)))
 
     @property
     def num_nodes(self) -> int:
@@ -97,13 +102,29 @@ class PoseGraph:
         meas = np.zeros((ecap, 3), np.float32)
         etype = np.zeros((ecap,), np.int32)
         mask = np.zeros((ecap,), bool)
+        covs = np.tile(np.eye(3, dtype=np.float32), (ecap, 1, 1))
+        has_cov = np.zeros((ecap,), bool)
         for i, ed in enumerate(self.edges):
             idx[i] = ed["idx"]
             meas[i] = ed["meas"]
             etype[i] = ed["etype"]
             mask[i] = True
-        sqrt_info = np.asarray(posegraph.default_sqrt_info(
-            jnp.asarray(etype), self.cfg.pgo))
+            c = ed.get("cov")
+            if c is not None and np.all(np.isfinite(c)):
+                covs[i], has_cov[i] = c, True
+        if self.cfg.pgo.replace_cov_by_identity or not has_cov.any():
+            sqrt_info = np.asarray(posegraph.default_sqrt_info(
+                jnp.asarray(etype), self.cfg.pgo))
+        else:
+            # measured-information path (ceresoptimizer.cpp:92-100): edges
+            # carrying a registration covariance are whitened by
+            # chol(cov^{-1} * loop_scale); edges without one keep the
+            # identity-scaled default
+            meas_si = np.asarray(posegraph.measured_sqrt_info(
+                jnp.asarray(covs), jnp.asarray(etype), self.cfg.pgo))
+            def_si = np.asarray(jax.vmap(jnp.diag)(posegraph.default_sqrt_info(
+                jnp.asarray(etype), self.cfg.pgo)))
+            sqrt_info = np.where(has_cov[:, None, None], meas_si, def_si)
         edges = posegraph.make_edges(idx, meas, sqrt_info, etype, mask)
         return poses, node_mask, edges
 
@@ -117,17 +138,20 @@ class PoseGraph:
         chunk = self.cfg.pgo.edge_capacity_chunk
         poses, node_mask, edges = self._padded(chunk)
         loop_cap = None
+        n_chain = sum(1 for e in self.edges
+                      if e["etype"] == ODOMETRY
+                      and e["idx"][1] == e["idx"][0] + 1)
+        n_other = len(self.edges) - n_chain
         if solver == "auto":
-            n_chain = sum(1 for e in self.edges
-                          if e["etype"] == ODOMETRY
-                          and e["idx"][1] == e["idx"][0] + 1)
-            n_other = len(self.edges) - n_chain
             if n_chain >= max(4, len(self.poses) // 2) \
                     and n_other * 6 < 3 * len(self.poses):
                 solver = "schur"
-                loop_cap = max(((n_other + 63) // 64) * 64, 64)
             else:
                 solver = "cholesky"
+        if solver == "schur":
+            # computed for BOTH auto-resolved and explicitly requested schur
+            # (an explicit --solver schur used to crash on loop_cap=None)
+            loop_cap = max(((n_other + 63) // 64) * 64, 64)
         with timing.timer("pose_graph_optimization"):
             res = posegraph.optimize(jnp.asarray(poses), jnp.asarray(node_mask),
                                      edges, self.cfg.pgo, solver=solver,
@@ -192,8 +216,12 @@ def run_offline_slam(cfg: TBVConfig, simple_graph, solver: str = "cholesky",
         slam.graph.add_node(g.kf_poses[i], float(g.kf_stamps[i]), gt=gt)
         slam.loops.add_keyframe(take(g.peaks, i), take(g.cells, i),
                                 g.kf_poses[i])
-    for idx, meas in zip(g.constraints_idx, g.constraints_meas):
-        slam.graph.add_odometry_constraint(int(idx[0]), int(idx[1]), meas)
+    covs = getattr(g, "constraints_cov", None)
+    for k, (idx, meas) in enumerate(zip(g.constraints_idx,
+                                        g.constraints_meas)):
+        cov = None if covs is None or k >= len(covs) else covs[k]
+        slam.graph.add_odometry_constraint(int(idx[0]), int(idx[1]), meas,
+                                           cov=cov)
     if batched:
         with timing.timer("loop_wave_batched"):
             for lc in slam.loops.process_all_batched():
@@ -206,13 +234,23 @@ class TBVSLAM:
     """Full pipeline on one sequence (the tbv_slam_offline analogue,
     tbv_slam_offline.cpp:215-356 — deterministic single-stream schedule)."""
 
-    def __init__(self, cfg: TBVConfig):
+    def __init__(self, cfg: TBVConfig, train_alignment: bool = False):
         self.cfg = cfg
         self.odometry = OdometryPipeline(cfg)
         self.loops = LoopCloser(cfg)
         self.graph = PoseGraph(cfg)
         self._frames = 0
         self._kf_to_node: List[int] = []
+        self._kf_since_opt = 0
+        self.pgo_epochs = 0
+        # Online alignment-classifier training (tbv_slam_online.cpp:185-188):
+        # feed each keyframe to the learner; finish() refits and swaps the
+        # loop verifier's alignment model.
+        self.alignment_learner = None
+        if train_alignment:
+            from .verification import AlignmentLearner
+
+            self.alignment_learner = AlignmentLearner(cfg.verification)
         # Additional strategies (TBVSLAM ctor instantiates the enabled ones,
         # tbv_slam.cpp:9-30).
         from .strategies import ProximityCloser
@@ -239,18 +277,37 @@ class TBVSLAM:
                 c = self.odometry.kf_constraints[-1]
                 if c["id_end"] == kf_idx:
                     self.graph.add_odometry_constraint(
-                        c["id_begin"], c["id_end"], c["t_be"])
+                        c["id_begin"], c["id_end"], c["t_be"],
+                        cov=c.get("cov"))
             self.loops.add_keyframe(self.odometry.kf_peaks[kf_idx],
                                     self.odometry.kf_cells[kf_idx], pose)
+            if self.alignment_learner is not None:
+                self.alignment_learner.add_training_pair(
+                    self.odometry.kf_peaks[kf_idx],
+                    self.odometry.kf_cells[kf_idx], pose)
             if search_loops:
                 for lc in self.loops.process_pending():
                     self.graph.add_loop_constraint(lc)
+            # periodic optimization epoch (OptimizerThread semantics,
+            # posegraph.cpp:132-149): the optimize() rebases all poses; the
+            # next odometry constraint then composes off the corrected pose.
+            self._kf_since_opt += 1
+            every = self.cfg.pgo.optimize_every
+            if every > 0 and self._kf_since_opt >= every \
+                    and self.graph.num_loops() > 0:
+                self.graph.optimize(solver="auto")
+                self._kf_since_opt = 0
+                self.pgo_epochs += 1
         return out
 
     def finish(self, optimize: bool = True,
                solver: str = "cholesky") -> SLAMSummary:
         """Drain pending loop closures, run the final optimization and the
         GT alignment (RunBasicEvaluation + Align, tbv_slam_offline.cpp:269)."""
+        if self.alignment_learner is not None \
+                and self.alignment_learner.num_samples >= 26:
+            self.alignment_learner.fit()
+            self.loops.align_model = self.alignment_learner.model
         for lc in self.loops.finish():
             self.graph.add_loop_constraint(lc)
         if self.mini_closure is not None:

@@ -66,11 +66,39 @@ def default_sqrt_info(etype: jnp.ndarray, cfg: PGOConfig) -> jnp.ndarray:
     return scale[:, None] * base[None, :]
 
 
+def measured_sqrt_info(cov: jnp.ndarray, etype: jnp.ndarray,
+                       cfg: PGOConfig) -> jnp.ndarray:
+    """Full-matrix sqrt-information from measured registration covariances —
+    the replace_cov_by_identity=false path (ceresoptimizer.cpp:92-100):
+    I_scaled = cov^{-1} * loop_scale_factor, whitening S = chol(I_scaled)
+    (the reference's sqrt_information = I_scaled.llt().matrixL(),
+    ceresoptimizer.cpp:102, restricted to the (x, y, yaw) plane).
+
+    ``cov`` [E, 3, 3]; returns [E, 3, 3].  Degenerate covariances fall back
+    to the identity-scaled diagonal for that edge.
+    """
+    cov = jnp.asarray(cov, jnp.float32)
+    e = cov.shape[0]
+    eye = jnp.eye(3, dtype=jnp.float32)
+    # symmetrize + floor eigenvalues via a small ridge before inverting
+    covs = 0.5 * (cov + jnp.swapaxes(cov, -1, -2)) + 1e-9 * eye[None]
+    info = jnp.linalg.inv(covs)
+    scale = jnp.where(etype == ODOMETRY, 1.0,
+                      1.0 / cfg.loop_scaling).astype(jnp.float32)
+    info = info * scale[:, None, None]
+    s = jnp.linalg.cholesky(info)
+    ok = jnp.all(jnp.isfinite(s.reshape(e, -1)), axis=-1)
+    fallback = jax.vmap(jnp.diag)(default_sqrt_info(etype, cfg))
+    return jnp.where(ok[:, None, None], jnp.nan_to_num(s), fallback)
+
+
 def _edge_residuals(poses: jnp.ndarray, edges: GraphEdges):
     """Whitened residuals r [E,3] and the raw geometry terms used by jacobians.
 
-    r = sqrt_info * [R(th_b)^T (p_e - p_b) - t_be ; wrap(th_e - th_b - th_be)]
-    (PoseGraph3dErrorTerm, ceresoptimizer.h:61-95, restricted to the plane).
+    r = S [R(th_b)^T (p_e - p_b) - t_be ; wrap(th_e - th_b - th_be)] with the
+    full 3x3 whitening S = sqrt-information (PoseGraph3dErrorTerm,
+    ceresoptimizer.h:61-95, restricted to the plane; S is diagonal under
+    replace_cov_by_identity and a Cholesky factor for measured covariances).
     """
     pb = poses[edges.idx[:, 0]]  # [E, 3]
     pe = poses[edges.idx[:, 1]]
@@ -82,7 +110,7 @@ def _edge_residuals(poses: jnp.ndarray, edges: GraphEdges):
     ry = -s * dx + c * dy
     rtheta = se2.wrap_angle(pe[:, 2] - pb[:, 2] - edges.meas[:, 2])
     raw = jnp.stack([rx - edges.meas[:, 0], ry - edges.meas[:, 1], rtheta], -1)
-    r = edges.sqrt_info * raw
+    r = jnp.einsum("eij,ej->ei", edges.sqrt_info, raw)
     return r, (c, s, dx, dy)
 
 
@@ -102,8 +130,9 @@ def _edge_jacobians(poses: jnp.ndarray, edges: GraphEdges):
         jnp.stack([-s, c, zeros], -1),
         jnp.stack([zeros, zeros, ones], -1),
     ], axis=-2)
-    w = edges.sqrt_info[..., None]  # whitening rows
-    return r, Jb * w, Je * w
+    S = edges.sqrt_info  # [E, 3, 3] whitening
+    return r, jnp.einsum("eij,ejk->eik", S, Jb), jnp.einsum(
+        "eij,ejk->eik", S, Je)
 
 
 def _cauchy_weights(r: jnp.ndarray, edges: GraphEdges, cfg: PGOConfig):
@@ -273,42 +302,6 @@ def _pcg_solve(b, edges, w, Jb, Je, diag_blocks, gauge_mask, lam, iters, tol):
     return x
 
 
-def _tridiag_solve(D, O, b):
-    """Block-tridiagonal SPD solve (Thomas) with batched right-hand sides.
-
-    D [N,3,3] diagonal blocks, O [N,3,3] with O[i] the (i, i+1) coupling
-    (O[N-1] unused/zero), b [N,3,K].  Returns x [N,3,K].  Two lax.scans
-    (forward elimination, back substitution) of 3x3 block ops — the
-    sequential depth is N but each step is tiny; this replaces an O((3N)^3)
-    dense factorization for the chain part of the pose-graph Hessian.
-    """
-    def inv3(m):
-        return jnp.linalg.inv(m + 1e-12 * jnp.eye(3, dtype=m.dtype))
-
-    def fwd(carry, inp):
-        s_prev_inv, y_prev = carry
-        d_i, o_prev, b_i = inp
-        w = o_prev.T @ s_prev_inv  # [3,3]
-        s_i = d_i - w @ o_prev
-        y_i = b_i - w @ y_prev
-        s_inv = inv3(s_i)
-        return (s_inv, y_i), (s_inv, y_i)
-
-    o_shift = jnp.concatenate([jnp.zeros_like(O[:1]), O[:-1]], axis=0)
-    k = b.shape[-1]
-    init = (jnp.zeros((3, 3), D.dtype), jnp.zeros((3, k), D.dtype))
-    _, (s_inv, y) = jax.lax.scan(fwd, init, (D, o_shift, b))
-
-    def bwd(x_next, inp):
-        s_inv_i, y_i, o_i = inp
-        x_i = s_inv_i @ (y_i - o_i @ x_next)
-        return x_i, x_i
-
-    _, x_rev = jax.lax.scan(
-        bwd, jnp.zeros((3, k), D.dtype), (s_inv, y, O), reverse=True)
-    return x_rev
-
-
 def _partitioned_tridiag_solve(D, O, b, seg: int):
     """SPD block-tridiagonal solve via one level of substructuring.
 
@@ -472,29 +465,56 @@ def _schur_solve(n, edges, blocks, gauge_mask, lam_diag, g, loop_idx):
         y = y + jnp.einsum("nji,njk->nik", op, xp)
         return y
 
+    # Partitioned (substructured) solve needs N divisible by the segment
+    # size; pad T with identity blocks internally so ANY node count takes
+    # the O(1)-depth path (the Thomas-scan fallback is N-sequential — a
+    # latency cliff on TPU).
     seg = next((s for s in (32, 16, 8, 4) if n % s == 0), None)
+    pad_n = 0 if seg is not None else (-n) % 32
+    if pad_n:
+        seg = 32
+        eye_pad = jnp.broadcast_to(jnp.eye(3, dtype=D.dtype), (pad_n, 3, 3))
+        Ds_p = jnp.concatenate([Ds, eye_pad], 0)
+        Os_p = jnp.concatenate([Os, jnp.zeros((pad_n, 3, 3), D.dtype)], 0)
+    else:
+        Ds_p, Os_p = Ds, Os
 
-    def _solve_t_once(rhs):  # [N,3,K], refined equilibrated solve
+    def _solve_t_once(rhs, refine):  # [N,3,K] equilibrated solve
         rs = rhs * dscale[:, :, None]
-        if seg is not None:
-            solve = partial(_partitioned_tridiag_solve, Ds, Os, seg=seg)
-        else:
-            solve = partial(_tridiag_solve, Ds, Os)
-        x1 = solve(rs)
-        x1 = x1 + solve(rs - matvec_t(x1))
+        if pad_n:
+            rs = jnp.concatenate(
+                [rs, jnp.zeros((pad_n,) + rs.shape[1:], rs.dtype)], 0)
+        x1 = _partitioned_tridiag_solve(Ds_p, Os_p, rs, seg=seg)
+        if refine:
+            x1 = x1 + _partitioned_tridiag_solve(
+                Ds_p, Os_p, rs - _matvec_pad(x1), seg=seg)
+        if pad_n:
+            x1 = x1[:n]
         return x1 * dscale[:, :, None]
 
-    def solve_t(rhs, chunk=768):
-        # chunk the rhs columns: bounds the [N, 3, K]-sized temporaries the
-        # batched solves materialize (K = 3L+1 right-hand sides at once blew
-        # HBM on large graphs).
+    def _matvec_pad(x):  # T_s x on the padded system
+        if not pad_n:
+            return matvec_t(x)
+        y = matvec_t(x[:n])
+        return jnp.concatenate([y, x[n:]], 0)
+
+    def solve_t(rhs, refine=False):
+        # Chunk the rhs columns only when the [N, 3, K] temporaries would
+        # actually pressure HBM (~256 MB per buffer).  At reference graph
+        # scale (N~4.5k, K~1.3k: 72 MB) this stays a SINGLE batched solve —
+        # the previous fixed chunk=768 forced a lax.map here, and that
+        # map-under-vmap program is what hung the XLA TPU compile at 4096
+        # nodes (BENCH_r01 failure).  ``refine`` adds one iterative-refinement
+        # pass (2x cost) — only needed for the single-column solves whose
+        # error is not mopped up by the outer Woodbury refinement.
         k_tot = rhs.shape[-1]
+        chunk = max(768, int(2.7e8 // (n * 12)))
         if k_tot <= chunk:
-            return _solve_t_once(rhs)
+            return _solve_t_once(rhs, refine)
         pad = (-k_tot) % chunk
         rp = jnp.pad(rhs, ((0, 0), (0, 0), (0, pad)))
         parts = jnp.moveaxis(rp.reshape(n, 3, -1, chunk), 2, 0)
-        out = jax.lax.map(_solve_t_once, parts)
+        out = jax.lax.map(lambda r: _solve_t_once(r, refine), parts)
         out = jnp.moveaxis(out, 0, 2).reshape(n, 3, -1)
         return out[..., :k_tot]
 
@@ -534,7 +554,7 @@ def _schur_solve(n, edges, blocks, gauge_mask, lam_diag, g, loop_idx):
     cl = jsl.cho_factor(cap + 1e-9 * jnp.eye(3 * l, dtype=D.dtype))
 
     def woodbury(bv):  # [N,3] -> (T + U^T U)^{-1} bv, reusing tut/cap
-        tbv = solve_t(bv[:, :, None])[..., 0]
+        tbv = solve_t(bv[:, :, None], refine=True)[..., 0]
         z = jsl.cho_solve(cl, apply_u(tbv[:, :, None])[:, 0])
         return tbv - jnp.einsum("nik,k->ni", tut, z)
 
@@ -581,8 +601,11 @@ def _lago_initialize(poses, gauge_mask, edges: GraphEdges):
         cl = jax.scipy.linalg.cho_factor(lap + 1e-6 * jnp.eye(n))
         return jax.scipy.linalg.cho_solve(cl, rhs)
 
-    # 1) orientations
-    w_th = jnp.where(edges.mask, edges.sqrt_info[:, 2] ** 2, 0.0)
+    # 1) orientations — per-component information = squared column norms of
+    # the whitening S (diag(S^T S); exact for diagonal S, the sensible scalar
+    # reduction for measured full-matrix S)
+    info_diag = jnp.sum(edges.sqrt_info ** 2, axis=1)  # [E, 3]
+    w_th = jnp.where(edges.mask, info_diag[:, 2], 0.0)
     pb = poses[edges.idx[:, 0]]
     pe = poses[edges.idx[:, 1]]
     r_th = se2.wrap_angle(pe[:, 2] - pb[:, 2] - edges.meas[:, 2])
@@ -594,8 +617,7 @@ def _lago_initialize(poses, gauge_mask, edges: GraphEdges):
     dx = c * edges.meas[:, 0] - s * edges.meas[:, 1]
     dy = s * edges.meas[:, 0] + c * edges.meas[:, 1]
     w_xy = jnp.where(edges.mask,
-                     0.5 * (edges.sqrt_info[:, 0] ** 2
-                            + edges.sqrt_info[:, 1] ** 2), 0.0)
+                     0.5 * (info_diag[:, 0] + info_diag[:, 1]), 0.0)
     # residual (p_e - p_b) - d must also account for the FIXED node-0
     # position entering the rhs: fold p0 contributions in via the current p.
     cur = poses[:, :2]
@@ -607,7 +629,6 @@ def _lago_initialize(poses, gauge_mask, edges: GraphEdges):
     return jnp.where(gauge_mask[:, None], out, poses)
 
 
-@partial(jax.jit, static_argnames=("cfg", "solver", "loop_cap"))
 def optimize(
     poses: jnp.ndarray,  # [N, 3]
     node_mask: jnp.ndarray,  # [N] bool
@@ -627,11 +648,35 @@ def optimize(
     Woodbury loop correction; needs ``loop_cap`` >= number of non-chain
     edges — the fast path for chain-dominated SLAM graphs).
     """
-    n = poses.shape[0]
-    gauge_mask = node_mask & (jnp.arange(n) != 0)
     if solver == "schur":
         if loop_cap is None:
             raise ValueError("solver='schur' requires loop_cap")
+        if not isinstance(edges.mask, jax.core.Tracer):
+            # Eager callers get a hard guard: silently truncating loop edges
+            # beyond loop_cap would exclude them from the Woodbury correction
+            # while they still contribute to cost/gradient (ADVICE r1).
+            # numpy on the concrete arrays — jnp ops would re-trace under an
+            # outer jit even though the operands are constants.
+            import numpy as _np
+
+            m = _np.asarray(edges.mask)
+            ii = _np.asarray(edges.idx)
+            et = _np.asarray(edges.etype)
+            is_chain = (ii[:, 1] == ii[:, 0] + 1) & (et == ODOMETRY) & m
+            n_loop = int((m & ~is_chain).sum())
+            if n_loop > loop_cap:
+                raise ValueError(
+                    f"solver='schur': loop_cap={loop_cap} < {n_loop} "
+                    "non-chain edges — raise loop_cap (silent truncation "
+                    "would yield a wrong solve)")
+    return _optimize_jit(poses, node_mask, edges, cfg, solver, loop_cap)
+
+
+@partial(jax.jit, static_argnames=("cfg", "solver", "loop_cap"))
+def _optimize_jit(poses, node_mask, edges, cfg, solver, loop_cap) -> PGOResult:
+    n = poses.shape[0]
+    gauge_mask = node_mask & (jnp.arange(n) != 0)
+    if solver == "schur":
         is_chain_s = ((edges.idx[:, 1] == edges.idx[:, 0] + 1)
                       & (edges.etype == ODOMETRY) & edges.mask)
         is_loop_s = edges.mask & ~is_chain_s
@@ -661,11 +706,11 @@ def _optimize_impl(poses, node_mask, gauge_mask, edges, cfg, solver,
         cur0 = jnp.where(better, cand_cost, cost0)
 
     def cond(state):
-        _, _, _, _, itr, done = state
+        _, _, _, _, itr, done, _ = state
         return (itr < cfg.max_iterations) & ~done
 
     def body(state):
-        p, lam, cur, accepted, itr, _ = state
+        p, lam, cur, accepted, itr, _, small_prev = state
         cost, g, blocks = _gradient_and_blocks(p, edges, cfg)
         if solver == "schur":
             # Tri-damping as in the cholesky path, but each solve is the
@@ -738,30 +783,43 @@ def _optimize_impl(poses, node_mask, gauge_mask, edges, cfg, solver,
             new_cost = graph_cost(cand, edges, cfg)
             lam_next = jnp.maximum(lam * 0.5, 1e-12)
         accept = new_cost < cur
-        # Ceres-style convergence on relative cost change — in BOTH
-        # directions: once |Δcost| is below tolerance the step is inside the
-        # f32 cost-evaluation noise floor and further iterations only churn
-        # (accepted-only tests keep grinding there for tens of iterations).
+        # Ceres-style convergence on relative cost change, hardened two ways
+        # (ADVICE r1 + r2 plateau finding):
+        # - a REJECTED near-no-change candidate only terminates once lambda
+        #   has grown past a floor (Ceres applies function_tolerance to
+        #   successful steps only);
+        # - termination needs TWO consecutive small-decrease iterations —
+        #   the robustified (Cauchy-IRLS) cost has plateaus where a single
+        #   small accepted step is NOT stationarity (observed: stopping
+        #   there left 5x the reachable ATE correction on the table).
         rel_dec = (cur - new_cost) / jnp.maximum(cur, 1e-20)
-        done = (jnp.abs(rel_dec) < cfg.function_tolerance) | (lam > 1e7)
+        small = jnp.abs(rel_dec) < cfg.function_tolerance
+        small_now = (accept & small) | (~accept & small & (lam > 1e2))
+        done = (small_now & small_prev) | (lam > 1e7)
         p = jnp.where(accept, cand, p)
         lam = jnp.where(accept, lam_next, jnp.minimum(lam * 10.0, 1e8))
         cur = jnp.where(accept, new_cost, cur)
         accepted = accepted + accept.astype(jnp.int32)
-        return p, lam, cur, accepted, itr + 1, done
+        return p, lam, cur, accepted, itr + 1, done, small_now
 
     state = (poses, jnp.asarray(cfg.init_lambda, poses.dtype), cur0,
              jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-             jnp.asarray(False))
-    p, _, cost, iters, _, _ = jax.lax.while_loop(cond, body, state)
+             jnp.asarray(False), jnp.asarray(False))
+    p, _, cost, iters, _, _, _ = jax.lax.while_loop(cond, body, state)
     return PGOResult(poses=p, cost0=cost0, cost=cost, iterations=iters)
 
 
 def make_edges(idx, meas, sqrt_info, etype, mask) -> GraphEdges:
+    """``sqrt_info`` may be per-edge diagonal [E, 3] (identity-scaled path)
+    or full whitening matrices [E, 3, 3] (measured-information path); the
+    edge store always carries the full form."""
+    s = jnp.asarray(sqrt_info, jnp.float32)
+    if s.ndim == 2:
+        s = jax.vmap(jnp.diag)(s)
     return GraphEdges(
         idx=jnp.asarray(idx, jnp.int32),
         meas=jnp.asarray(meas, jnp.float32),
-        sqrt_info=jnp.asarray(sqrt_info, jnp.float32),
+        sqrt_info=s,
         etype=jnp.asarray(etype, jnp.int32),
         mask=jnp.asarray(mask, bool),
     )

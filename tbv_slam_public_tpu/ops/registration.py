@@ -42,9 +42,14 @@ COST_P2P = 2
 LOSS_NONE = 0
 LOSS_HUBER = 1
 LOSS_CAUCHY = 2
+LOSS_SOFTLONE = 3
+LOSS_TUKEY = 4
+LOSS_COMBINED = 5
 
 _COST_CODES = {"P2L": COST_P2L, "P2D": COST_P2D, "P2P": COST_P2P}
-_LOSS_CODES = {"none": LOSS_NONE, "huber": LOSS_HUBER, "cauchy": LOSS_CAUCHY}
+_LOSS_CODES = {"none": LOSS_NONE, "huber": LOSS_HUBER, "cauchy": LOSS_CAUCHY,
+               "softlone": LOSS_SOFTLONE, "tukey": LOSS_TUKEY,
+               "combined": LOSS_COMBINED}
 
 
 def cost_code(name: str) -> int:
@@ -88,7 +93,10 @@ def _similarity(x, y):
 def _rho_and_weight(s: jnp.ndarray, loss: int, delta: float):
     """Robust loss rho(s) on squared residuals and IRLS weight rho'(s).
 
-    Huber follows the Ceres convention (s <= d^2: rho=s else 2d*sqrt(s)-d^2).
+    All five reference options (losstype, registration.h:60; Ceres loss
+    conventions): Huber (s <= d^2: rho=s else 2d*sqrt(s)-d^2), Cauchy,
+    SoftLOne, Tukey, and Combined = ComposedLoss(Huber(1), Cauchy(1))
+    i.e. rho(s) = huber(cauchy(s)) (registration.cpp:88-92).
     """
     if loss == LOSS_HUBER:
         sqrt_s = jnp.sqrt(jnp.maximum(s, 1e-20))
@@ -100,6 +108,27 @@ def _rho_and_weight(s: jnp.ndarray, loss: int, delta: float):
         rho = b * jnp.log1p(s / b)
         w = 1.0 / (1.0 + s / b)
         return rho, w
+    if loss == LOSS_SOFTLONE:
+        b = delta * delta
+        t = jnp.sqrt(1.0 + s / b)
+        rho = 2.0 * b * (t - 1.0)
+        w = 1.0 / t
+        return rho, w
+    if loss == LOSS_TUKEY:
+        b = delta * delta
+        u = jnp.maximum(1.0 - s / b, 0.0)
+        rho = (b / 3.0) * (1.0 - u ** 3)
+        w = u * u
+        return rho, w
+    if loss == LOSS_COMBINED:
+        # f(g(s)) with f = Huber(1), g = Cauchy(1); chain rule for the
+        # IRLS weight: rho'(s) = f'(g(s)) * g'(s).
+        g = jnp.log1p(s)
+        gp = 1.0 / (1.0 + s)
+        sqrt_g = jnp.sqrt(jnp.maximum(g, 1e-20))
+        rho = jnp.where(g <= 1.0, g, 2.0 * sqrt_g - 1.0)
+        fp = jnp.where(g <= 1.0, 1.0, 1.0 / sqrt_g)
+        return rho, fp * gp
     return s, jnp.ones_like(s)
 
 
@@ -569,3 +598,130 @@ def evaluate_cost(
     total = _cost_only(src_pose, src, assoc, cost=cost, loss=loss,
                        delta=cfg.loss_limit)
     return total, jnp.sum(assoc.mask)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_outer", "max_inner"))
+def register_joint(
+    scans: Cells,  # stacked [T, C, ...] — every scan in the window
+    poses0: jnp.ndarray,  # [T, 3] initial poses
+    scan_mask: jnp.ndarray,  # [T] bool — valid scans
+    fixed: jnp.ndarray,  # [T] bool — scans whose pose stays constant
+    cfg: RegistrationConfig,
+    max_outer: Optional[int] = None,
+    max_inner: Optional[int] = None,
+) -> RegistrationResult:
+    """many_to_many_refinement: joint refinement of ALL window scans
+    (n_scan_normal.cpp:360-365 — every ordered pair (i, j), i != j, not both
+    fixed, contributes costs).
+
+    TPU-shaped decomposition: with the reference's efficient costs the target
+    pose is baked into each residual at association time and only the SOURCE
+    scan's 3 DoF are free (AddResidualBlock(parameters[scan_idx_src]),
+    n_scan_normal.cpp:318-320) — so the per-association-pass joint Hessian is
+    block-diagonal over scans, and one outer iteration = a vmap of T
+    independent 3-DoF LM solves against all other scans at their
+    last-iteration poses (Jacobi-style update, exactly the coupling the
+    reference's rebuild-every-itr loop produces).  When no scan is fixed the
+    first valid scan is gauge-fixed (n_scan_normal.cpp:370-371).
+    """
+    cost = cost_code(cfg.cost)
+    loss = loss_code(cfg.loss)
+    delta = cfg.loss_limit
+    n_outer = max_outer or cfg.max_outer_iterations
+    n_inner = max_inner or cfg.max_inner_iterations
+    angle_gate_cos = math.cos(math.radians(cfg.angle_gate_deg))
+    t_scans = scans.mean.shape[0]
+
+    any_fixed = jnp.any(fixed & scan_mask)
+    first_valid = jnp.argmax(scan_mask)
+    gauge_fixed = jnp.where(
+        any_fixed, fixed,
+        jnp.arange(t_scans) == first_valid) & scan_mask
+
+    def solve_scan(j, poses, radius):
+        """One scan's 3-DoF solve against all others (targets baked)."""
+        src = jax.tree.map(lambda x: x[j], scans)
+        tmw = jax.vmap(se2.apply)(poses, scans.mean)
+        tnw = jax.vmap(se2.rotate)(poses, scans.normal)
+        rot = se2.rotmat(poses[:, 2])
+        tcw = jnp.einsum("tab,tcbd,ted->tcae", rot, scans.cov, rot)
+        tvalid = (scans.valid & scan_mask[:, None]
+                  & (jnp.arange(t_scans) != j)[:, None])
+        assoc = associate(
+            src, poses[j], tmw, tnw, tcw, scans.nsamples, scans.planarity,
+            tvalid, radius,
+            weight_option=cfg.weight_option, cost=cost,
+            regularization=cfg.regularization, cov_scale=cfg.cov_scale,
+            angle_gate_cos=angle_gate_cos)
+        theta, score, _ = _lm_solve(
+            poses[j], src, assoc, cost=cost, loss=loss, delta=delta,
+            max_iter=n_inner, init_lambda=cfg.init_lambda)
+        return theta, score, jnp.sum(assoc.mask)
+
+    def outer_body(itr, state):
+        poses, _, _ = state
+        radius = jnp.where(itr == 0, 2.0 * cfg.radius, cfg.radius)
+        new_poses, scores, counts = jax.vmap(
+            solve_scan, in_axes=(0, None, None))(
+                jnp.arange(t_scans), poses, radius)
+        movable = scan_mask & ~gauge_fixed
+        poses = jnp.where(movable[:, None], new_poses, poses)
+        return poses, jnp.sum(jnp.where(movable, scores, 0.0)), \
+            jnp.sum(jnp.where(movable, counts, 0))
+
+    poses, score, n_res = jax.lax.fori_loop(
+        0, n_outer, outer_body,
+        (poses0, jnp.asarray(0.0, poses0.dtype), jnp.asarray(0, jnp.int32)))
+    cov = jnp.diag(jnp.asarray([0.1 ** 2, 0.1 ** 2, 0.01 ** 2], poses.dtype))
+    return RegistrationResult(
+        pose=poses, score=score, num_residuals=n_res,
+        iterations=jnp.asarray(n_outer, jnp.int32), success=n_res > 1,
+        cov=cov)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def ceres_covariance(
+    src: Cells,
+    theta_opt: jnp.ndarray,  # [3] optimized pose
+    tgt: Cells,
+    tgt_poses: jnp.ndarray,
+    tgt_scan_mask: jnp.ndarray,
+    cfg: RegistrationConfig,
+    final_score: jnp.ndarray,
+    n_res: jnp.ndarray,
+):
+    """Ceres-covariance-style output (GetCovariance,
+    n_scan_normal.cpp:390-431): covariance of the last (source) parameter
+    block = the inverse Gauss-Newton Hessian at the optimum, scaled by
+    30 * final_cost / (num_residuals_reduced - num_parameters_reduced)
+    (Censi 2007-style score scaling).  Returns (cov [3,3], ok) — ok False
+    when the Hessian is rank-deficient (Compute failure analogue).
+    """
+    cost = cost_code(cfg.cost)
+    loss = loss_code(cfg.loss)
+    angle_gate_cos = math.cos(math.radians(cfg.angle_gate_deg))
+
+    tmw = jax.vmap(se2.apply)(tgt_poses, tgt.mean)
+    tnw = jax.vmap(se2.rotate)(tgt_poses, tgt.normal)
+    rot = se2.rotmat(tgt_poses[:, 2])
+    tcw = jnp.einsum("tab,tcbd,ted->tcae", rot, tgt.cov, rot)
+    tvalid = tgt.valid & tgt_scan_mask[:, None]
+    assoc = associate(
+        src, theta_opt, tmw, tnw, tcw, tgt.nsamples, tgt.planarity, tvalid,
+        cfg.radius,
+        weight_option=cfg.weight_option, cost=cost,
+        regularization=cfg.regularization, cov_scale=cfg.cov_scale,
+        angle_gate_cos=angle_gate_cos)
+    _, _, H = _cost_grad_hess(theta_opt, src, assoc, cost=cost, loss=loss,
+                              delta=cfg.loss_limit)
+    eigs = jnp.linalg.eigvalsh(H)
+    ok = eigs[0] > 1e-9
+    resid_dim = jnp.where(cost == COST_P2L, 1, 2) * n_res
+    denom = (resid_dim - 3).astype(final_score.dtype)
+    ok = ok & (denom > 0)
+    scale = 30.0 * final_score / jnp.maximum(denom, 1.0)
+    hinv = jnp.linalg.inv(H + (~ok) * jnp.eye(3))
+    cov = scale * hinv
+    fallback = jnp.diag(jnp.asarray([0.1 ** 2, 0.1 ** 2, 0.01 ** 2],
+                                    cov.dtype))
+    return jnp.where(ok, cov, fallback), ok

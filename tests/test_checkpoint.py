@@ -95,3 +95,54 @@ def test_batched_wave_equals_sequential(odometry_run):
         np.testing.assert_allclose(bat_map[k], seq_map[k], atol=1e-4)
     # same number of evaluated candidates
     assert len(bat.loops.candidate_log) == len(seq.loops.candidate_log)
+
+
+def test_full_graph_scan_payload_resume(tmp_path, odometry_run):
+    """full_graph with scan payloads (posegraph.cpp:264-294 parity): the
+    loop closer must be resumable from the checkpoint, not just the poses."""
+    cfg, pipe = odometry_run
+    g = checkpoint.from_odometry(pipe)
+    slam = run_offline_slam(cfg, g)
+    path = str(tmp_path / "full_graph_payload.npz")
+    checkpoint.save_full_graph(path, slam.graph, slam=slam)
+    slam2 = checkpoint.load_full_graph_slam(path, cfg)
+    assert slam2.graph.num_nodes == slam.graph.num_nodes
+    assert slam2.graph.num_loops() == slam.graph.num_loops()
+    assert len(slam2.loops.kf_peaks) == slam.graph.num_nodes
+    np.testing.assert_allclose(
+        np.asarray(slam2.loops.kf_peaks[0].xy),
+        np.asarray(slam.loops.kf_peaks[0].xy), atol=1e-6)
+    # re-running the batched wave from the restored payloads reproduces the
+    # SAME loop constraints (re-verification from checkpoint)
+    slam2.loops._processed = 0
+    relc = slam2.loops.process_all_batched()
+    orig = sorted((e["idx"] for e in slam.graph.edges if e["etype"] != 0))
+    redo = sorted(((c.id_from, c.id_to) for c in relc))
+    assert redo == orig
+
+
+def test_measured_cov_flows_from_checkpoint(tmp_path, odometry_run):
+    """replace_cov_by_identity=false: registration covariances stored in the
+    simple_graph must reach the PGO whitening (VERDICT r1 #4)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tbv_slam_public_tpu.ops import posegraph
+
+    cfg, pipe = odometry_run
+    cfg2 = dataclasses.replace(
+        cfg, pgo=dataclasses.replace(cfg.pgo, replace_cov_by_identity=False))
+    g = checkpoint.from_odometry(pipe)
+    slam = run_offline_slam(cfg2, g)
+    poses, node_mask, edges = slam.graph._padded(
+        cfg2.pgo.edge_capacity_chunk)
+    si = np.asarray(edges.sqrt_info)
+    e = len(slam.graph.edges)
+    default = np.asarray(jax.vmap(jnp.diag)(posegraph.default_sqrt_info(
+        edges.etype, cfg2.pgo)))
+    # at least the odometry edges carry measured (non-default) whitening
+    odo_rows = [k for k, ed in enumerate(slam.graph.edges)
+                if ed["etype"] == 0 and ed.get("cov") is not None]
+    assert odo_rows, "odometry constraints should carry covariances"
+    assert not np.allclose(si[odo_rows], default[odo_rows])
