@@ -262,6 +262,8 @@ def main():
         pgo_ms = _timeit(solve, iters=5) * 1e3
         extra[f"pgo_{n}node_ms"] = round(pgo_ms, 2)
         extra["pgo_vs_baseline"] = round(BASE_PGO_MS / pgo_ms, 2)
+        extra["pgo_ms_per_iteration"] = round(
+            pgo_ms / max(int(pgo_res.iterations), 1), 2)
 
     run_stage("pgo", stage_pgo)
 

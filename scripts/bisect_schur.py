@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--lago", type=int, default=1)
     ap.add_argument("--fixture", action="store_true",
                     help="use the Oxford 10-12-32 GT route fixture")
+    ap.add_argument("--ladder", default=None,
+                    help="damping ladder, e.g. 0.1,1,10")
+    ap.add_argument("--ftol", type=float, default=None)
     args = ap.parse_args()
 
     import jax
@@ -59,6 +62,11 @@ def main():
     from dataclasses import replace
     pgo_cfg = replace(PGOConfig(), tri_damping=bool(args.tri),
                       lago_init=bool(args.lago))
+    if args.ladder:
+        pgo_cfg = replace(pgo_cfg, damping_ladder=tuple(
+            float(x) for x in args.ladder.split(",")))
+    if args.ftol is not None:
+        pgo_cfg = replace(pgo_cfg, function_tolerance=args.ftol)
     sqrt_info = np.asarray(posegraph.default_sqrt_info(
         jnp.asarray(inst.etype), pgo_cfg))
     edges = posegraph.make_edges(inst.idx, inst.meas, sqrt_info, inst.etype,

@@ -36,6 +36,9 @@ class RadarConfig:
     cfar_guard_cells: int = 40
     cfar_window_size: int = 1
     cfar_false_alarm_rate: float = 1.0
+    # BFAR affine threshold a*noise + b (BFARScan, ScanType.h:207-213)
+    bfar_scale: float = 1.1
+    bfar_offset: float = 20.0
     # point capacity of the filtered cloud = num_azimuths * k_strongest
     # (peaks cloud shares the same padded capacity)
 
@@ -195,6 +198,14 @@ class PGOConfig:
     # iteration, roughly halves iteration count; disable for the smallest
     # compiled program at very large graphs.
     tri_damping: bool = True
+    # damping multipliers explored per iteration when tri_damping is on;
+    # fewer candidates = proportionally cheaper iterations (each is one
+    # structured solve), more = better trust-region exploration on the
+    # robustified cost's plateaus
+    # (0.1, 1): measured on the Oxford-route instance to keep the 3-ladder's
+    # ATE while cutting solve count ~1/3 (the 10x candidate is mostly
+    # redundant with the reject path's lambda*10)
+    damping_ladder: Tuple[float, ...] = (0.1, 1.0)
     cg_iterations: int = 100
     cg_tol: float = 1e-6
     init_lambda: float = 1e-6

@@ -76,3 +76,57 @@ def plot_segment_errors(path: str, lengths: Sequence[float],
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     fig.savefig(path, bbox_inches="tight", dpi=120)
     plt.close(fig)
+
+
+def plot_constraint_map(path: str, poses: np.ndarray,
+                        edges: List[dict],
+                        keyframe_clouds: Optional[List] = None,
+                        gt: Optional[np.ndarray] = None,
+                        max_map_points: int = 60000) -> None:
+    """Pose-graph constraint/map view — the PoseGraphVis artifact
+    (posegraph.cpp:373-691: merged keyframe cloud map + per-type constraint
+    markers + paths) as a static figure.
+
+    ``edges`` are PoseGraph edge dicts (idx/etype); ``keyframe_clouds`` an
+    optional list of per-keyframe PointCloud peaks (world map rendered by
+    transforming each into its keyframe pose).
+    """
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig, ax = plt.subplots(figsize=(9, 9))
+    if keyframe_clouds is not None and len(keyframe_clouds) == len(poses):
+        pts = []
+        for pose, pc in zip(poses, keyframe_clouds):
+            xy = np.asarray(pc.xy)
+            m = np.asarray(pc.mask)
+            c, s = np.cos(pose[2]), np.sin(pose[2])
+            w = np.stack([c * xy[:, 0] - s * xy[:, 1] + pose[0],
+                          s * xy[:, 0] + c * xy[:, 1] + pose[1]], -1)
+            pts.append(w[m])
+        pts = np.concatenate(pts) if pts else np.zeros((0, 2))
+        if len(pts) > max_map_points:
+            pts = pts[:: len(pts) // max_map_points + 1]
+        ax.scatter(pts[:, 0], pts[:, 1], s=0.3, c="0.75", linewidths=0,
+                   label="map", rasterized=True)
+    if gt is not None:
+        ax.plot(gt[:, 0], gt[:, 1], color="0.4", lw=0.8, label="gt")
+    ax.plot(poses[:, 0], poses[:, 1], color="#4053d3", lw=1.2, label="est")
+    type_style = {0: None, 1: ("#b51d14", "loop"), 2: ("#ddb310", "mini"),
+                  3: ("#00beff", "candidate")}
+    seen = set()
+    for e in edges:
+        style = type_style.get(e["etype"], ("#fb49b0", "other"))
+        if style is None:
+            continue
+        color, name = style
+        a, b = e["idx"]
+        ax.plot([poses[a, 0], poses[b, 0]], [poses[a, 1], poses[b, 1]],
+                color=color, lw=0.9, alpha=0.8,
+                label=name if name not in seen else None)
+        seen.add(name)
+    ax.set_aspect("equal")
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("y [m]")
+    ax.legend(loc="best", fontsize=8)
+    fig.tight_layout()
+    fig.savefig(path, dpi=160)
+    plt.close(fig)

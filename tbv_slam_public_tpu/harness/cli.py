@@ -163,6 +163,10 @@ def cmd_slam(args, overrides: List[str]) -> int:
         plots.plot_trajectories(
             os.path.join(args.output, "plots", "trajectory.png"),
             dict(gt=gt, est=est, odom=g.kf_poses))
+        plots.plot_constraint_map(
+            os.path.join(args.output, "plots", "constraint_map.png"),
+            est, slam.graph.edges,
+            keyframe_clouds=slam.loops.kf_peaks, gt=gt)
         if slam.loops.candidate_log:
             probs = np.asarray([r["prob"] for r in labeled])
             labels = np.asarray([r["is_loop"] for r in labeled], float)

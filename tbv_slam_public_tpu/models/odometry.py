@@ -78,7 +78,7 @@ def _push_keyframe(state: OdometryState, cells: Cells, pose: jnp.ndarray):
 def first_frame(state: OdometryState, image: jnp.ndarray, cfg: TBVConfig):
     """Frame 0: seed the keyframe window at the origin
     (odometrykeyframefuser.cpp:171-178)."""
-    cloud, peaks = radar.kstrongest_filter(image, cfg.radar)
+    cloud, peaks = radar.filter_scan(image, cfg.radar)
     cells = features.compute_cells(cloud, cfg.features)
     state = _push_keyframe(state, cells, jnp.zeros(3, jnp.float32))
     state = state.replace(frame_idx=state.frame_idx + 1)
@@ -97,7 +97,7 @@ def odometry_step(state: OdometryState, image: jnp.ndarray, cfg: TBVConfig):
     """One odometry frame (odometrykeyframefuser.cpp:143-260)."""
     ocfg = cfg.odometry
 
-    cloud, peaks = radar.kstrongest_filter(image, cfg.radar)
+    cloud, peaks = radar.filter_scan(image, cfg.radar)
     if ocfg.compensate and not ocfg.time_continuous:
         cloud = radar.motion_compensate(cloud, state.Tmot, ocfg.radar_ccw)
         peaks = radar.motion_compensate(peaks, state.Tmot, ocfg.radar_ccw)

@@ -173,11 +173,16 @@ def default_loop_model(cfg: VerificationConfig) -> logistic.LogisticModel:
 def train_loop_model_from_file(path: str) -> logistic.LogisticModel:
     """Fit the loop classifier from a training-data file with rows
     ``y, odom, sc, align`` (model_parameters/tbv_model_8.txt format,
-    loopclosure.h:199-227)."""
+    loopclosure.h:199-227).
+
+    Balanced class weights, matching the reference's sklearn
+    LogisticRegression(class_weight="balanced") (alignmentinterface.cpp:205):
+    on the real tbv_model_8.txt data this reproduces the published
+    trained_loop_classifier.txt coefficients to ~5 decimals."""
     data = np.loadtxt(path, delimiter=",")
     y = jnp.asarray(data[:, 0], jnp.float32)
     x = jnp.asarray(data[:, 1:4], jnp.float32)
-    return logistic.fit(x, y, balanced=False)
+    return logistic.fit(x, y, balanced=True)
 
 
 def odometry_consistency(kf_positions: np.ndarray, id_from: int,

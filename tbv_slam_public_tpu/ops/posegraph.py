@@ -31,6 +31,17 @@ edges a Cauchy(0.1) loss applied by IRLS reweighting
 is diag(1/0.01, 1/0.01, 1/0.001) and loop edges are additionally divided by
 ``loop_scaling`` (ceresoptimizer.cpp:83-100).  The first pose is gauge-fixed
 (ceresoptimizer.cpp:58 SetParameterBlockConstant analogue).
+
+Planar (SE(2)) restriction: the reference's PoseGraph3dErrorTerm is a full
+SE(3) residual (ceresoptimizer.h:61-95), but the radar datasets are planar
+and the reference itself flattens ground truth to the plane at ingestion
+(offline_odometry.cpp:80-96) — so for every graph this pipeline produces,
+the SE(3) residual's z/roll/pitch rows are identically zero and its
+remaining rows coincide with this module's SE(2) residual (the quaternion
+row is 2 sin(dyaw/2) vs wrap(dyaw): same zero set, same Gauss-Newton
+direction; tests/test_posegraph.py::
+test_planar_restriction_matches_se3_residual proves the equivalence).
+Poses are lifted to SE(3) only at export (core/se3.py).
 """
 from __future__ import annotations
 
@@ -302,19 +313,23 @@ def _pcg_solve(b, edges, w, Jb, Je, diag_blocks, gauge_mask, lam, iters, tol):
     return x
 
 
-def _partitioned_tridiag_solve(D, O, b, seg: int):
-    """SPD block-tridiagonal solve via one level of substructuring.
+def _partitioned_tridiag_prepare(D, O, seg: int):
+    """Factorization phase of the substructured block-tridiagonal solve.
 
     Nodes are partitioned into chunks of ``seg``; the last node of each chunk
-    is a separator.  Eliminating all chunk interiors (B independent dense
-    segments, factored as ONE batched Cholesky on the MXU) reduces T to a
-    small dense system on the 3B separator DoFs, which is solved directly;
-    interiors back-substitute batched.  Unlike a Thomas scan this has O(1)
-    sequential depth and is backward-stable (pure Cholesky solves), which
-    f32 needs at the pose-graph's condition numbers.
+    is a separator.  Chunk interiors (B independent dense segments) are
+    eliminated with ONE batched Cholesky whose inverse is materialized —
+    batched TRIANGULAR solves run at a tiny fraction of TPU peak (sequential
+    within the block) while A^{-1} @ rhs is a pure MXU matmul; the extra f32
+    error of the explicit inverse is mopped up by the Jacobi equilibration +
+    refinement layers above this routine.  Everything rhs-independent
+    (interior inverses, separator reduction, its inverse) is computed HERE so
+    repeated solves against the same T — the Woodbury solve does several —
+    factorize exactly once.
 
-    D [N,3,3], O [N,3,3] (O[i] couples i,i+1; O[N-1] must be zero),
-    b [N,3,K]; N must be divisible by seg.  Returns x [N,3,K].
+    D [N,3,3], O [N,3,3] (O[i] couples i,i+1; O[N-1] must be zero);
+    N must be divisible by seg.  Returns an opaque context for
+    :func:`_partitioned_tridiag_apply`.
     """
     import jax.scipy.linalg as jsl
 
@@ -322,10 +337,8 @@ def _partitioned_tridiag_solve(D, O, b, seg: int):
     assert n % seg == 0, (n, seg)
     nb = n // seg
     m = seg - 1  # interior nodes per segment
-    k = b.shape[-1]
     Dr = D.reshape(nb, seg, 3, 3)
     Orr = O.reshape(nb, seg, 3, 3)
-    b_r = b.reshape(nb, seg, 3, k)
 
     # segment interior matrices A [B, 3m, 3m]
     A = jnp.zeros((nb, m, 3, m, 3), D.dtype)
@@ -336,10 +349,9 @@ def _partitioned_tridiag_solve(D, O, b, seg: int):
         A = A.at[:, i + 1, :, i, :].set(
             jnp.swapaxes(Orr[:, i], -1, -2))
     A = A.reshape(nb, 3 * m, 3 * m)
-    L = jnp.linalg.cholesky(A + 1e-12 * jnp.eye(3 * m, dtype=D.dtype))
-
-    def seg_solve(rhs):  # [B, 3m, K'] -> A^{-1} rhs (batched Cholesky)
-        return jax.vmap(lambda lb, rb: jsl.cho_solve((lb, True), rb))(L, rhs)
+    eye_m = jnp.eye(3 * m, dtype=D.dtype)
+    L = jnp.linalg.cholesky(A + 1e-12 * eye_m)
+    A_inv = jax.vmap(lambda lb: jsl.cho_solve((lb, True), eye_m))(L)
 
     # couplings: c_s = O[seg interior last -> separator s] (edge m-1 of chunk)
     # f_s = O[separator s -> first node of chunk s+1]     (edge seg-1 of chunk)
@@ -353,13 +365,10 @@ def _partitioned_tridiag_solve(D, O, b, seg: int):
     f_prev = jnp.concatenate([jnp.zeros_like(f[:1]), f[:-1]], 0)
     F = jnp.zeros((nb, 3 * m, 3), D.dtype).at[:, :3, :].set(
         jnp.swapaxes(f_prev, -1, -2))
-
-    rhs_all = jnp.concatenate([b_r[:, :seg - 1].reshape(nb, 3 * m, k),
-                               E, F], axis=-1)
-    sol = seg_solve(rhs_all)
-    Ainv_b = sol[..., :k]  # [B, 3m, K]
-    Ainv_E = sol[..., k:k + 3]
-    Ainv_F = sol[..., k + 3:]
+    Ainv_E = jnp.einsum("bij,bjk->bik", A_inv, E,
+                        precision=jax.lax.Precision.HIGHEST)
+    Ainv_F = jnp.einsum("bij,bjk->bik", A_inv, F,
+                        precision=jax.lax.Precision.HIGHEST)
 
     # reduced separator system (dense 3B x 3B: B is small)
     # D~_s = D_sep_s - E_s^T A_s^{-1} E_s - F_{s+1}^T A_{s+1}^{-1} F_{s+1}
@@ -370,12 +379,6 @@ def _partitioned_tridiag_solve(D, O, b, seg: int):
     # off-diagonal (sep s, sep s+1): - F_{s+1}^T A_{s+1}^{-1} E_{s+1}
     FtAE = jnp.einsum("bri,brj->bij", F, Ainv_E)
     o_red = -jnp.concatenate([FtAE[1:], jnp.zeros_like(FtAE[:1])], 0)
-    # reduced rhs
-    b_sep = b_r[:, seg - 1]  # [B, 3, K]
-    EtAb = jnp.einsum("bri,brk->bik", E, Ainv_b)
-    FtAb = jnp.einsum("bri,brk->bik", F, Ainv_b)
-    FtAb_next = jnp.concatenate([FtAb[1:], jnp.zeros_like(FtAb[:1])], 0)
-    b_red = b_sep - EtAb - FtAb_next
 
     R = jnp.zeros((nb, 3, nb, 3), D.dtype)
     di = jnp.arange(nb)
@@ -384,9 +387,30 @@ def _partitioned_tridiag_solve(D, O, b, seg: int):
     R = R.at[di[:-1] + 1, :, di[:-1], :].set(
         jnp.swapaxes(o_red[:-1], -1, -2))
     R = R.reshape(3 * nb, 3 * nb)
-    x_sep = jsl.cho_solve(
-        jsl.cho_factor(R + 1e-12 * jnp.eye(3 * nb, dtype=D.dtype)),
-        b_red.reshape(3 * nb, k))  # rows ordered (chunk, 3), matching R
+    eye_r = jnp.eye(3 * nb, dtype=D.dtype)
+    R_inv = jsl.cho_solve(jsl.cho_factor(R + 1e-12 * eye_r), eye_r)
+    return dict(n=n, nb=nb, seg=seg, m=m, A_inv=A_inv, E=E, F=F,
+                Ainv_E=Ainv_E, Ainv_F=Ainv_F, R_inv=R_inv)
+
+
+def _partitioned_tridiag_apply(ctx, b):
+    """Solve phase: b [N,3,K] -> T^{-1} b using a prepared factorization.
+    Pure MXU matmuls — no factorizations, no triangular solves."""
+    n, nb, seg, m = ctx["n"], ctx["nb"], ctx["seg"], ctx["m"]
+    A_inv, E, F = ctx["A_inv"], ctx["E"], ctx["F"]
+    Ainv_E, Ainv_F, R_inv = ctx["Ainv_E"], ctx["Ainv_F"], ctx["R_inv"]
+    k = b.shape[-1]
+    b_r = b.reshape(nb, seg, 3, k)
+    b_int = b_r[:, :seg - 1].reshape(nb, 3 * m, k)
+    Ainv_b = jnp.einsum("bij,bjk->bik", A_inv, b_int,
+                        precision=jax.lax.Precision.HIGHEST)
+    b_sep = b_r[:, seg - 1]  # [B, 3, K]
+    EtAb = jnp.einsum("bri,brk->bik", E, Ainv_b)
+    FtAb = jnp.einsum("bri,brk->bik", F, Ainv_b)
+    FtAb_next = jnp.concatenate([FtAb[1:], jnp.zeros_like(FtAb[:1])], 0)
+    b_red = b_sep - EtAb - FtAb_next
+    x_sep = jnp.matmul(R_inv, b_red.reshape(3 * nb, k),
+                       precision=jax.lax.Precision.HIGHEST)
     x_sep = x_sep.reshape(nb, 3, k)
 
     # back-substitute interiors:
@@ -398,6 +422,12 @@ def _partitioned_tridiag_solve(D, O, b, seg: int):
     x = jnp.concatenate([x_int.reshape(nb, m, 3, k),
                          x_sep[:, None, :, :]], axis=1)
     return x.reshape(n, 3, k)
+
+
+def _partitioned_tridiag_solve(D, O, b, seg: int):
+    """One-shot prepare+apply (kept for tests and single-solve callers)."""
+    return _partitioned_tridiag_apply(_partitioned_tridiag_prepare(D, O, seg),
+                                      b)
 
 
 def _schur_solve(n, edges, blocks, gauge_mask, lam_diag, g, loop_idx):
@@ -465,29 +495,31 @@ def _schur_solve(n, edges, blocks, gauge_mask, lam_diag, g, loop_idx):
         y = y + jnp.einsum("nji,njk->nik", op, xp)
         return y
 
-    # Partitioned (substructured) solve needs N divisible by the segment
-    # size; pad T with identity blocks internally so ANY node count takes
-    # the O(1)-depth path (the Thomas-scan fallback is N-sequential — a
-    # latency cliff on TPU).
-    seg = next((s for s in (32, 16, 8, 4) if n % s == 0), None)
-    pad_n = 0 if seg is not None else (-n) % 32
+    # Partitioned (substructured) solve: pad T with identity blocks to a
+    # multiple of the segment size so ANY node count takes the O(1)-depth
+    # path.  Segments of 128 nodes (vs 32) quarter the batch of small
+    # Choleskys/triangular ops — which are latency-bound on TPU — while the
+    # bigger [B, 3(seg-1), K] eliminations stay pure MXU matmuls.
+    seg = min(128, max(4, 1 << (max(n, 2) - 1).bit_length() - 2))
+    pad_n = (-n) % seg
     if pad_n:
-        seg = 32
         eye_pad = jnp.broadcast_to(jnp.eye(3, dtype=D.dtype), (pad_n, 3, 3))
         Ds_p = jnp.concatenate([Ds, eye_pad], 0)
         Os_p = jnp.concatenate([Os, jnp.zeros((pad_n, 3, 3), D.dtype)], 0)
     else:
         Ds_p, Os_p = Ds, Os
+    # factorize T ONCE; every solve below (batched Woodbury rhs, refinement
+    # passes, the two single-column woodbury() calls) is then pure matmuls
+    t_ctx = _partitioned_tridiag_prepare(Ds_p, Os_p, seg=seg)
 
     def _solve_t_once(rhs, refine):  # [N,3,K] equilibrated solve
         rs = rhs * dscale[:, :, None]
         if pad_n:
             rs = jnp.concatenate(
                 [rs, jnp.zeros((pad_n,) + rs.shape[1:], rs.dtype)], 0)
-        x1 = _partitioned_tridiag_solve(Ds_p, Os_p, rs, seg=seg)
+        x1 = _partitioned_tridiag_apply(t_ctx, rs)
         if refine:
-            x1 = x1 + _partitioned_tridiag_solve(
-                Ds_p, Os_p, rs - _matvec_pad(x1), seg=seg)
+            x1 = x1 + _partitioned_tridiag_apply(t_ctx, rs - _matvec_pad(x1))
         if pad_n:
             x1 = x1[:n]
         return x1 * dscale[:, :, None]
@@ -550,12 +582,16 @@ def _schur_solve(n, edges, blocks, gauge_mask, lam_diag, g, loop_idx):
 
     import jax.scipy.linalg as jsl
 
-    cap = jnp.eye(3 * l, dtype=D.dtype) + apply_u(tut)
-    cl = jsl.cho_factor(cap + 1e-9 * jnp.eye(3 * l, dtype=D.dtype))
+    eye_l = jnp.eye(3 * l, dtype=D.dtype)
+    cap = eye_l + apply_u(tut)
+    # explicit capacitance inverse: single-column triangular solves (the
+    # woodbury() calls below) are latency-bound on TPU; one inverse turns
+    # them into matvecs
+    cap_inv = jsl.cho_solve(jsl.cho_factor(cap + 1e-9 * eye_l), eye_l)
 
     def woodbury(bv):  # [N,3] -> (T + U^T U)^{-1} bv, reusing tut/cap
         tbv = solve_t(bv[:, :, None], refine=True)[..., 0]
-        z = jsl.cho_solve(cl, apply_u(tbv[:, :, None])[:, 0])
+        z = cap_inv @ apply_u(tbv[:, :, None])[:, 0]
         return tbv - jnp.einsum("nik,k->ni", tut, z)
 
     def matvec_h(x):  # full damped H x (all edges + damping + gauge)
@@ -722,7 +758,7 @@ def _optimize_impl(poses, node_mask, gauge_mask, edges, cfg, solver,
             hdiag = hdiag.at[edges.idx[:, 1]].add(
                 jnp.einsum("eri,eri->ei", wJe, wJe))
             gm = jnp.where(gauge_mask[:, None], g, 0.0)
-            lams = jnp.stack([0.1 * lam, lam, 10.0 * lam]) \
+            lams = jnp.stack([m * lam for m in cfg.damping_ladder]) \
                 if cfg.tri_damping else jnp.stack([lam])
 
             def solve_one(l):
@@ -752,7 +788,7 @@ def _optimize_impl(poses, node_mask, gauge_mask, edges, cfg, solver,
             # iteration count of classic accept/reject LM.
             H = _dense_hessian(n, edges, blocks, gauge_mask)
             g_flat = jnp.where(jnp.repeat(gauge_mask, 3), g.reshape(-1), 0.0)
-            lams = jnp.stack([0.1 * lam, lam, 10.0 * lam]) \
+            lams = jnp.stack([m * lam for m in cfg.damping_ladder]) \
                 if cfg.tri_damping else jnp.stack([lam])
             hdiag = jnp.diagonal(H)
 

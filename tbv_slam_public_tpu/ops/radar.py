@@ -183,3 +183,75 @@ def motion_compensate(cloud: PointCloud, motion: jnp.ndarray, ccw: bool) -> Poin
     nx = c * x - s * y + motion[0] * factor
     ny = s * x + c * y + motion[1] * factor
     return cloud.replace(xy=jnp.stack([nx, ny], axis=-1))
+
+
+@partial(jax.jit, static_argnames=("window_size", "scale_factor",
+                                   "offset_factor", "k_strongest",
+                                   "range_res", "min_distance",
+                                   "max_distance"))
+def _bfar_impl(image: jnp.ndarray, *, window_size: int, scale_factor: float,
+               offset_factor: float, range_res: float, min_distance: float,
+               max_distance: float, k_strongest: int):
+    a, r = image.shape
+    img = image.astype(jnp.float32)
+    padded = jnp.pad(img, ((0, 0), (1, 0)))
+    csum = jnp.cumsum(padded, axis=1)
+
+    def windowsum(start, size):
+        lo = jnp.clip(start, 0, r)
+        hi = jnp.clip(start + size, 0, r)
+        return (jnp.take_along_axis(csum, hi[None, :], axis=1)
+                - jnp.take_along_axis(csum, lo[None, :], axis=1)), hi - lo
+
+    rng = jnp.arange(r)
+    lead, n_lead = windowsum(rng - window_size, jnp.int32(window_size))
+    trail, n_trail = windowsum(rng + 1, jnp.int32(window_size))
+    count = jnp.maximum(n_lead + n_trail, 1).astype(jnp.float32)
+    noise = (lead + trail) / count[None, :]
+    detected = img > (scale_factor * noise + offset_factor)
+
+    gated = jnp.where(detected, img, -1.0)
+    vals, idxs = jax.lax.top_k(gated, k_strongest)
+    a_idx = jnp.broadcast_to(jnp.arange(a)[:, None], vals.shape)
+    xy = polar_to_xy(a_idx, idxs, a, range_res)
+    min_range_bin = int(math.ceil(min_distance / range_res))
+    valid = (vals > 0) & (idxs > min_range_bin) & \
+        (idxs.astype(jnp.float32) <= max_distance / range_res)
+    flat = lambda x: x.reshape((a * k_strongest,) + x.shape[2:])
+    return PointCloud(xy=flat(xy), intensity=flat(vals), mask=flat(valid))
+
+
+def bfar_filter(image: jnp.ndarray, cfg: RadarConfig) -> PointCloud:
+    """BFAR detector: CFAR with an AFFINE threshold a*noise + b (the
+    false-alarm-rate bound of Alhashimi et al.; the reference declares a
+    BFARScan type, ScanType.h:207-213, whose filter call is commented out —
+    rebuilt here so the scan-type zoo is complete).  Training window =
+    ``cfar_window_size`` cells on each side (no guard cells), threshold
+    parameters ``bfar_scale`` / ``bfar_offset``."""
+    return _bfar_impl(
+        image,
+        window_size=max(cfg.cfar_window_size, 1),
+        scale_factor=cfg.bfar_scale,
+        offset_factor=cfg.bfar_offset,
+        range_res=cfg.range_res,
+        min_distance=cfg.min_distance,
+        max_distance=cfg.max_distance,
+        k_strongest=cfg.k_strongest,
+    )
+
+
+def filter_scan(image: jnp.ndarray, cfg: RadarConfig):
+    """Detector dispatch on ``cfg.filter_type`` (radarDriver::Process selects
+    the filter by Parameters::filter_type, radar_driver.cpp:48-73):
+    "kstrong" (default, returns filtered + axial-NMS peaks clouds),
+    "cacfar", or "bfar" (detector output serves as both clouds — the CFAR
+    detections ARE the peaks)."""
+    if cfg.filter_type == "kstrong":
+        return kstrongest_filter(image, cfg)
+    if cfg.filter_type == "cacfar":
+        cloud = cacfar_filter(image, cfg)
+        return cloud, cloud
+    if cfg.filter_type == "bfar":
+        cloud = bfar_filter(image, cfg)
+        return cloud, cloud
+    raise ValueError(f"unknown filter_type {cfg.filter_type!r}")

@@ -42,7 +42,8 @@ def test_slam_from_checkpoint_cli(odometry_out, tmp_path):
                    "--output", out] + FAST)
     assert rc == 0
     for f in ("est/00.txt", "est/result.txt", "odom/00.txt",
-              "loop/loop.csv", "full_graph.npz", "time_statistics.txt"):
+              "loop/loop.csv", "full_graph.npz", "time_statistics.txt",
+              "plots/trajectory.png", "plots/constraint_map.png"):
         assert os.path.exists(os.path.join(out, f)), f
 
 

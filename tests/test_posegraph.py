@@ -272,3 +272,63 @@ def test_realistic_drift_loop_closure_at_scale():
     assert float(res.cost) < float(res.cost0)
     # the PGO must visibly close loops: >= 2x aligned-ATE reduction
     assert ate1 < 0.5 * ate0, (ate0, ate1)
+
+
+def test_planar_restriction_matches_se3_residual(rng):
+    """The SE(2) residual is EXACT for the radar datasets, where motion is
+    planar and the reference itself flattens GT to the plane at ingestion
+    (offline_odometry.cpp:80-96).  Verify against the reference's full SE(3)
+    residual (PoseGraph3dErrorTerm, ceresoptimizer.h:61-95): for planar
+    poses its z/roll/pitch components are identically zero, the (x, y) rows
+    equal ours, and its quaternion row 2*vec(dq)_z = 2 sin(dyaw/2) agrees
+    with our wrapped angle residual to third order (same zero set, same
+    gauss-newton direction at the optimum)."""
+    from tbv_slam_public_tpu.core import se3
+
+    def quat_mul(a, b):  # (x, y, z, w)
+        ax, ay, az, aw = a
+        bx, by, bz, bw = b
+        return np.asarray([
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+            aw * bw - ax * bx - ay * by - az * bz,
+        ])
+
+    def quat_conj(q):
+        return np.asarray([-q[0], -q[1], -q[2], q[3]])
+
+    def se3_residual(pa, pb, meas):
+        """Reference residual: [R_a^T (p_b - p_a) - p_ab ; 2 vec(q_ab^meas *
+        (q_a^-1 q_b)^-1)] for planar SE(2) poses/measurement."""
+        Ta = se3.se2_to_matrix4(pa[None])[0]
+        qa = se3.se2_to_quat(pa[None])[0]
+        qb = se3.se2_to_quat(pb[None])[0]
+        qm = se3.se2_to_quat(meas[None])[0]
+        p_ab_est = Ta[:3, :3].T @ (se3.se2_to_matrix4(pb[None])[0][:3, 3]
+                                   - Ta[:3, 3])
+        q_ab_est = quat_mul(quat_conj(qa), qb)
+        dq = quat_mul(qm, quat_conj(q_ab_est))
+        p_meas = np.asarray([meas[0], meas[1], 0.0])
+        return np.concatenate([p_ab_est - p_meas, 2.0 * dq[:3]])
+
+    for _ in range(20):
+        pa = rng.normal(0, [5.0, 5.0, 1.0])
+        pb = rng.normal(0, [5.0, 5.0, 1.0])
+        meas = rng.normal(0, [1.0, 1.0, 0.1])
+        r6 = se3_residual(pa, pb, meas)
+        # z / roll / pitch identically zero for planar poses
+        np.testing.assert_allclose(r6[2], 0.0, atol=1e-12)
+        np.testing.assert_allclose(r6[3:5], 0.0, atol=1e-12)
+        # our planar residual (unwhitened)
+        c, s = np.cos(pa[2]), np.sin(pa[2])
+        d = pb[:2] - pa[:2]
+        rx = c * d[0] + s * d[1] - meas[0]
+        ry = -s * d[0] + c * d[1] - meas[1]
+        dth = (pb[2] - pa[2] - meas[2] + np.pi) % (2 * np.pi) - np.pi
+        np.testing.assert_allclose(r6[:2], [rx, ry], atol=1e-9)
+        # quaternion row: -2 sin(dyaw/2) up to sign convention == -dth+O(dth^3)
+        np.testing.assert_allclose(abs(r6[5]), abs(2 * np.sin(dth / 2)),
+                                   atol=1e-9)
+        if abs(dth) < 0.3:
+            np.testing.assert_allclose(abs(r6[5]), abs(dth), atol=5e-3)

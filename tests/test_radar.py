@@ -135,3 +135,36 @@ def test_cacfar_detects_target(small_cfg):
     assert int(m.sum()) == 1
     xy = np.asarray(cloud.xy)[m][0]
     assert abs(np.hypot(*xy) - 0.5 * 40.5) < 1e-4
+
+
+def test_bfar_filter_and_dispatch():
+    """BFAR affine-threshold detector (ScanType.h:207-213 rebuilt) + the
+    filter_type dispatch (radar_driver.cpp:48-73)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    cfg = RadarConfig(num_azimuths=16, num_range_bins=64, range_res=0.5,
+                      k_strongest=4, min_distance=1.0, max_distance=30.0,
+                      z_min=10.0, cfar_window_size=4,
+                      bfar_scale=1.5, bfar_offset=15.0)
+    img = rng.integers(0, 8, (16, 64)).astype(np.uint8)
+    img[5, 30] = 200  # strong isolated target
+    img[9, 12] = 180
+    cloud = radar.bfar_filter(jnp.asarray(img), cfg)
+    got = np.asarray(cloud.xy)[np.asarray(cloud.mask)]
+    assert len(got) >= 2
+    # the two targets detected at the right ranges
+    r = np.linalg.norm(got, axis=1)
+    assert np.any(np.abs(r - 30.5 * 0.5) < 0.6)
+    assert np.any(np.abs(r - 12.5 * 0.5) < 0.6)
+    # a uniform image yields no detections (noise == signal)
+    flat = np.full((16, 64), 50, np.uint8)
+    cloud0 = radar.bfar_filter(jnp.asarray(flat), cfg)
+    assert int(np.asarray(cloud0.mask).sum()) == 0
+    # dispatch
+    for ft in ("kstrong", "cacfar", "bfar"):
+        c = dataclasses.replace(cfg, filter_type=ft)
+        cloud, peaks = radar.filter_scan(jnp.asarray(img), c)
+        assert cloud.xy.shape == peaks.xy.shape

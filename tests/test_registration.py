@@ -189,3 +189,73 @@ def test_sampled_covariance_convex_quadratic(rng):
     assert np.all(eig > 0)
     assert cov[0, 0] < 1.0 and cov[1, 1] < 1.0  # well-constrained
     np.testing.assert_allclose(cov, cov.T, atol=1e-7)
+
+
+@pytest.mark.parametrize("loss", ["tukey", "softlone", "combined", "cauchy"])
+def test_loss_options_recover_offset(loss):
+    """Every reference loss option (losstype, registration.h:60) must still
+    recover a small rigid offset."""
+    import dataclasses
+
+    rng = np.random.default_rng(0)
+    world = simulate.make_world(rng, num_walls=40, extent=60.0)
+    cfg = RegistrationConfig(cost="P2L", weight_option=4, loss=loss,
+                             loss_limit=0.5)
+    src = scan_cells(world, np.array([1.0, 0.4, 0.05]),
+                     np.random.default_rng(2))
+    tgt = scan_cells(world, np.zeros(3), np.random.default_rng(3))
+    res = registration.register_window(
+        src, jnp.zeros(3, jnp.float32), stack_targets([tgt]),
+        jnp.zeros((1, 3), jnp.float32), jnp.ones(1, bool), cfg)
+    assert bool(res.success)
+    np.testing.assert_allclose(np.asarray(res.pose), [1.0, 0.4, 0.05],
+                               atol=0.15)
+
+
+def test_register_joint_many_to_many():
+    """many_to_many_refinement (n_scan_normal.cpp:360-365): jointly refining
+    a window of perturbed scans must pull every movable scan back toward its
+    true pose (first scan gauge-fixed)."""
+    rng = np.random.default_rng(1)
+    world = simulate.make_world(rng, num_walls=40, extent=60.0)
+    cfg = RegistrationConfig(cost="P2L", weight_option=4)
+    true_poses = np.asarray([[0.0, 0.0, 0.0], [2.0, 0.3, 0.05],
+                             [4.0, 0.8, 0.1]], np.float32)
+    cells = [scan_cells(world, p, np.random.default_rng(10 + i))
+             for i, p in enumerate(true_poses)]
+    scans = jax.tree.map(lambda *x: jnp.stack(x), *cells)
+    init = true_poses.copy()
+    init[1] += [0.5, -0.3, 0.03]
+    init[2] += [-0.4, 0.4, -0.04]
+    out = registration.register_joint(
+        scans, jnp.asarray(init), jnp.ones((3,), bool),
+        jnp.zeros((3,), bool), cfg)
+    assert bool(out.success)
+    opt = np.asarray(out.pose)
+    np.testing.assert_allclose(opt[0], true_poses[0], atol=1e-6)  # gauge
+    err0 = np.abs(init[1:, :2] - true_poses[1:, :2]).max()
+    err1 = np.abs(opt[1:, :2] - true_poses[1:, :2]).max()
+    assert err1 < 0.35 * err0, (err0, err1)
+
+
+def test_ceres_covariance_output():
+    """Ceres-covariance-style output (n_scan_normal.cpp:390-431): SPD, scaled
+    by final cost / dof, and larger when the cost surface is flatter."""
+    rng = np.random.default_rng(2)
+    world = simulate.make_world(rng, num_walls=40, extent=60.0)
+    cfg = RegistrationConfig(cost="P2L", weight_option=4)
+    src = scan_cells(world, np.array([1.0, 0.2, 0.02]),
+                     np.random.default_rng(4))
+    tgt = scan_cells(world, np.zeros(3), np.random.default_rng(5))
+    tgts = stack_targets([tgt])
+    poses = jnp.zeros((1, 3), jnp.float32)
+    mask = jnp.ones(1, bool)
+    res = registration.register_window(
+        src, jnp.zeros(3, jnp.float32), tgts, poses, mask, cfg)
+    cov, ok = registration.ceres_covariance(
+        src, res.pose, tgts, poses, mask, cfg, res.score, res.num_residuals)
+    assert bool(ok)
+    c = np.asarray(cov)
+    np.testing.assert_allclose(c, c.T, atol=1e-8)
+    assert np.all(np.linalg.eigvalsh(c) > 0)
+    assert np.all(np.diag(c) < 1.0)  # well-constrained scene

@@ -171,3 +171,35 @@ def test_odometry_consistency():
     sim2 = verification.odometry_consistency(
         np.array([[0.0, 0], [30.0, 0]]), 0, 1, 0.05)
     assert sim2 > 0.99
+
+
+def test_loop_classifier_reproduces_published_coefficients():
+    """REAL-DATA golden parity: fitting our on-device IRLS logistic
+    regression on the reference's actual loop training data (4390 rows of
+    Oxford candidate features, model_parameters/tbv_model_8.txt, committed
+    as an npz fixture) must reproduce the PUBLISHED
+    trained_loop_classifier.txt coefficients — intercept 4.53196, coefs
+    [-5.06267, -11.9655, 0.268186] — i.e. the exact model the reference
+    shipped (sklearn class_weight="balanced", alignmentinterface.cpp:205)."""
+    import os
+
+    fx = os.path.join(os.path.dirname(__file__), "fixtures",
+                      "tbv_model_8.npz")
+    data = np.load(fx)["data"]
+    y = jnp.asarray(data[:, 0], jnp.float32)
+    x = jnp.asarray(data[:, 1:4], jnp.float32)
+    m = logistic.fit(x, y, balanced=True)
+    np.testing.assert_allclose(float(m.intercept), 4.53196, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(m.coef),
+                               [-5.06267, -11.9655, 0.268186],
+                               rtol=2e-3, atol=2e-3)
+    # training metrics in line with the published loop/result.txt
+    # (98.2% accuracy, 92.4% precision, 98.3% recall on job_1's data)
+    p = np.asarray(logistic.predict_proba(m, x))
+    pred = p > 0.5
+    lab = data[:, 0] > 0.5
+    acc = (pred == lab).mean()
+    tp = (pred & lab).sum()
+    prec = tp / max(pred.sum(), 1)
+    rec = tp / lab.sum()
+    assert acc > 0.97 and prec > 0.90 and rec > 0.95, (acc, prec, rec)
