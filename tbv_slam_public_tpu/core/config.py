@@ -301,7 +301,11 @@ def apply_overrides(cfg: TBVConfig, overrides: Dict[str, Any]) -> TBVConfig:
         if len(path) == 1:
             fld = {f.name: f for f in dataclasses.fields(obj)}[path[0]]
             ftype = fld.type if isinstance(fld.type, type) else type(getattr(obj, path[0]))
-            if not isinstance(value, ftype) and ftype in (int, float, bool, str):
+            if ftype is tuple and isinstance(value, str):
+                # tuple fields (e.g. pgo.damping_ladder=0.1,1) parse as
+                # comma-separated floats
+                value = tuple(float(x) for x in value.split(","))
+            elif not isinstance(value, ftype) and ftype in (int, float, bool, str):
                 if ftype is bool and isinstance(value, str):
                     value = value.lower() in ("1", "true", "yes")
                 else:
