@@ -35,6 +35,9 @@ BASE_ODOM_MS = 250.0  # 4 Hz sensor period (real-time bound)
 FIXTURE_GT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "tests", "fixtures",
                           "oxford_10-12-32_keyframe_gt.npz")
+FIXTURE_REAL_ODOM = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "tests", "fixtures",
+                                 "oxford_10-12-32_real_odometry.npz")
 
 
 def _timeit(fn, iters=10):
@@ -212,16 +215,24 @@ def main():
     # 4.07 m (job_0 result.txt).
     def stage_pgo():
         pgo_cfg = PGOConfig()
-        if pgo_nodes is None and os.path.exists(FIXTURE_GT):
+        if pgo_nodes is None and os.path.exists(FIXTURE_REAL_ODOM):
+            # The strongest instance: the reference's OWN published CFEAR
+            # odometry for Oxford 10-12-32 as the initial estimate (real
+            # measured drift, job_0/odom/01.txt), GT-revisit loop edges.
+            # Published SLAM ATE on this sequence: 4.07 m from odometry
+            # drift (est/result.txt:4).
+            z = np.load(FIXTURE_REAL_ODOM)
+            inst = simulate.make_real_odometry_pgo_instance(
+                z["odom"], z["gt"], seed=0)
+            extra["pgo_instance"] = "real_odometry(job_0)"
+        elif pgo_nodes is None and os.path.exists(FIXTURE_GT):
             gt_traj = np.load(FIXTURE_GT)["gt"]
+            inst = simulate.make_trajectory_pgo_instance(gt_traj, seed=0)
+            extra["pgo_instance"] = "synthetic_drift(gt_route)"
         elif pgo_nodes is None:
-            raise FileNotFoundError(FIXTURE_GT)
+            raise FileNotFoundError(FIXTURE_REAL_ODOM)
         else:
             # --small: down-sampled synthetic circuit
-            gt_traj = None
-        if gt_traj is not None:
-            inst = simulate.make_trajectory_pgo_instance(gt_traj, seed=0)
-        else:
             inst = simulate.make_pgo_instance(pgo_nodes, seed=0)
         n = len(inst.poses)
         # pad the node axis to a multiple of 32 so the schur solver's
@@ -249,10 +260,11 @@ def main():
         pgo_res = posegraph.optimize(jposes, jnmask, edges, pgo_cfg,
                                      solver=solver, loop_cap=loop_cap)
         est_n = np.asarray(pgo_res.poses)[:n]
-        ate0 = float(np.sqrt(np.mean(np.sum(
-            (inst.poses[:, :2] - inst.gt[:, :2]) ** 2, 1))))
-        ate1 = float(np.sqrt(np.mean(np.sum(
-            (est_n[:, :2] - inst.gt[:, :2]) ** 2, 1))))
+        # Umeyama-aligned ATE (kitti_odometry.py:477-506 semantics) so the
+        # numbers are directly comparable to the published result.txt rows.
+        from tbv_slam_public_tpu.eval import trajectory as tj
+        ate0 = tj.ate_rmse(inst.poses, inst.gt)
+        ate1 = tj.ate_rmse(est_n, inst.gt)
         extra[f"pgo_{n}node_ate_before_m"] = round(ate0, 2)
         extra[f"pgo_{n}node_ate_after_m"] = round(ate1, 2)
         extra["pgo_iterations"] = int(pgo_res.iterations)

@@ -299,3 +299,69 @@ def make_trajectory_pgo_instance(
         meas[j] = _se2_rel(gt[a], gt[b]) + rng.normal(0, loop_sigma)
     return PGOInstance(poses=poses, gt=gt, idx=idx, meas=meas, etype=etype,
                        mask=mask, n_loops=len(loop_pairs))
+
+
+def interpolate_at_arclength(traj: np.ndarray, s: np.ndarray) -> np.ndarray:
+    """Interpolate an SE(2) trajectory [N, 3] at the given cumulative
+    arc-lengths ``s`` (linear xy, shortest-arc yaw).  Used to resample a
+    full-rate odometry trajectory at keyframe positions: arc-length is the
+    gauge-free correspondence between an estimate and GT (scan-matching
+    odometry has ~1% scale error but metres of absolute drift)."""
+    d = np.linalg.norm(np.diff(traj[:, :2], axis=0), axis=1)
+    arc = np.concatenate([[0.0], np.cumsum(d)])
+    s = np.clip(s, 0.0, arc[-1])
+    hi = np.clip(np.searchsorted(arc, s), 1, len(traj) - 1)
+    lo = hi - 1
+    seg = np.maximum(arc[hi] - arc[lo], 1e-9)
+    t = ((s - arc[lo]) / seg)[:, None]
+    xy = traj[lo, :2] * (1 - t) + traj[hi, :2] * t
+    dyaw = np.arctan2(np.sin(traj[hi, 2] - traj[lo, 2]),
+                      np.cos(traj[hi, 2] - traj[lo, 2]))
+    yaw = traj[lo, 2] + t[:, 0] * dyaw
+    return np.stack([xy[:, 0], xy[:, 1],
+                     np.arctan2(np.sin(yaw), np.cos(yaw))], axis=1).astype(
+        np.float32)
+
+
+def make_real_odometry_pgo_instance(
+        odom: np.ndarray, gt: np.ndarray, seed: int = 0, *,
+        loop_sigma=(0.15, 0.15, 0.01),
+        max_dist: float = 6.0, min_idx_gap: int = 100, loop_stride: int = 2,
+        edge_chunk: int = 1024, odometry_type: int = 0,
+        loop_type: int = 2) -> PGOInstance:
+    """Pose-graph instance with the REAL drift profile: odometry edges are
+    the actual relative motions of a measured radar-odometry trajectory
+    (e.g. the reference's published Oxford 10-12-32 CFEAR output,
+    evaluation/data/oxford_all_tbv_model_8/job_0/odom/01.txt), keyframe-
+    matched to ``gt`` [N, 3].  Loop edges connect GT revisit pairs
+    (EvaluationManager 6 m geometry) with accepted-loop registration
+    accuracy — the oracle for retrieval+registration, isolating the PGO.
+
+    ``odom`` must already be resampled to the same N keyframes as ``gt``
+    (see ``interpolate_at_arclength``).  Unlike the synthetic instances, the
+    initial estimate IS the real odometry trajectory, so ``ate_rmse(poses,
+    gt)`` is the real odometry ATE and the post-PGO ATE is directly
+    comparable to the published SLAM row (job_0 est/result.txt: 4.07 m)."""
+    rng = np.random.default_rng(seed)
+    odom = np.asarray(odom, np.float32)
+    gt = np.asarray(gt, np.float32)
+    n = len(gt)
+    assert len(odom) == n, (len(odom), n)
+    odo = [_se2_rel(odom[i], odom[i + 1]) for i in range(n - 1)]
+    loop_pairs = find_loop_pairs(gt, max_dist=max_dist,
+                                 min_idx_gap=min_idx_gap, stride=loop_stride)
+    e = n - 1 + len(loop_pairs)
+    e_cap = max(((e + edge_chunk - 1) // edge_chunk) * edge_chunk, edge_chunk)
+    idx = np.zeros((e_cap, 2), np.int32)
+    meas = np.zeros((e_cap, 3), np.float32)
+    etype = np.zeros((e_cap,), np.int32)
+    mask = np.zeros((e_cap,), bool)
+    for i in range(n - 1):
+        idx[i], meas[i], etype[i], mask[i] = (i, i + 1), odo[i], \
+            odometry_type, True
+    for k, (a, b) in enumerate(loop_pairs):
+        j = n - 1 + k
+        idx[j], etype[j], mask[j] = (a, b), loop_type, True
+        meas[j] = _se2_rel(gt[a], gt[b]) + rng.normal(0, loop_sigma)
+    return PGOInstance(poses=odom.copy(), gt=gt, idx=idx, meas=meas,
+                       etype=etype, mask=mask, n_loops=len(loop_pairs))
