@@ -1,0 +1,167 @@
+"""Scaling-efficiency measurement on a simulated N-device CPU mesh.
+
+Measures the loop-candidate pair-wave throughput (the pipeline's
+embarrassingly-parallel stage, SURVEY §2.6 P5) with FIXED per-device batch
+(weak scaling) and reports
+
+    efficiency = throughput_N / (N * throughput_1)
+
+against the BASELINE.md target (>= 0.8 at N >= 2).
+
+Methodology note (r3): `--xla_force_host_platform_device_count` splits the
+host into virtual devices that SHARE one physical core pool, and a 1-device
+XLA CPU run already multithreads across every core — so an unpinned
+baseline makes any sharded run look like ~1/N efficiency regardless of how
+well the program shards.  The orchestrator therefore pins each measurement
+to a matching cpuset with ``taskset``: the 1-device baseline gets 1 core,
+the N-device run gets N cores, and N is capped at the machine's core count
+(this host: 2).  Within those constraints the number measures exactly what
+multi-chip sharding would: per-compute-unit throughput retention.
+
+Run modes:
+    python scripts/scaling_bench.py              # orchestrate 1 vs N, JSON
+    python scripts/scaling_bench.py --measure N  # one pinned measurement
+
+bench.py invokes the orchestrator as a subprocess (stage "scaling") so the
+main bench process keeps its TPU backend.  Prints one JSON line on stdout.
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def measure(n_devices: int, per_device: int, iters: int) -> None:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    os.environ["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={n_devices}"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tbv_slam_public_tpu.core.config import (FeatureConfig, RadarConfig,
+                                                 TBVConfig,
+                                                 VerificationConfig)
+    from tbv_slam_public_tpu.io import simulate
+    from tbv_slam_public_tpu.ops import features, logistic, radar
+    from tbv_slam_public_tpu.parallel import candidates as par_cand
+
+    assert len(jax.devices()) == n_devices, jax.devices()
+
+    # CPU-sized shapes: the measurement is about SHARDING efficiency (the
+    # same program partitioned 1 vs N ways), not absolute throughput.
+    cfg = TBVConfig(
+        radar=RadarConfig(num_azimuths=100, num_range_bins=256, range_res=0.4,
+                          k_strongest=8, min_distance=1.0, max_distance=90.0),
+        features=FeatureConfig(cell_capacity=256, grid_extent=100.0),
+        verification=VerificationConfig(peaks_capacity=512),
+    )
+    rng = np.random.default_rng(0)
+    world = simulate.make_world(rng, num_walls=60, extent=60.0)
+
+    def scan_at(pose):
+        img = simulate.render_scan(
+            world, np.asarray(pose), num_azimuths=cfg.radar.num_azimuths,
+            num_range_bins=cfg.radar.num_range_bins,
+            range_res=cfg.radar.range_res, rng=rng)
+        cloud, peaks = radar.kstrongest_filter(jnp.asarray(img), cfg.radar)
+        cells = features.compute_cells(cloud, cfg.features)
+        cap = cfg.verification.peaks_capacity
+        return jax.tree.map(lambda x: x[:cap], peaks), cells
+
+    m = per_device * n_devices
+    qs = [scan_at([0.4 * i, 0.1 * i, 0.01 * i]) for i in range(m)]
+    cs = [scan_at([0.4 * i + 0.3, 0.1 * i + 0.1, 0.01 * i]) for i in range(m)]
+    stack = lambda xs: jax.tree.map(lambda *a: jnp.stack(a), *xs)
+    align = logistic.from_values(cfg.verification.alignment_coefs[0],
+                                 cfg.verification.alignment_coefs[1:])
+    loop = logistic.from_values(cfg.verification.loop_coefs[0],
+                                cfg.verification.loop_coefs[1:])
+    mesh = par_cand.make_mesh(np.asarray(jax.devices()))
+    q_peaks = stack([q[0] for q in qs])
+    q_cells = stack([q[1] for q in qs])
+    c_peaks = stack([c[0] for c in cs])
+    c_cells = stack([c[1] for c in cs])
+    wave_args = (jnp.zeros((m, 3)), jnp.zeros((m,)), 0.2 * jnp.ones((m,)),
+                 0.1 * jnp.ones((m,)), jnp.ones((m,), bool), align, loop, cfg)
+
+    def wave():
+        return par_cand.sharded_register_and_verify_pairs(
+            mesh, q_cells, q_peaks, c_cells, c_peaks, *wave_args).prob
+
+    jax.block_until_ready(wave())  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = wave()
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({"devices": n_devices, "batch": m,
+                      "cands_per_s": round(m / dt, 3)}))
+
+
+def orchestrate(per_device: int, iters: int, n_target: int) -> None:
+    ncores = os.cpu_count() or 1
+    n = max(2, min(n_target, ncores))
+    me = os.path.abspath(__file__)
+
+    def run_pinned(n_dev: int, cores: str) -> dict:
+        cmd = ["taskset", "-c", cores, sys.executable, me,
+               "--measure", str(n_dev), "--per-device", str(per_device),
+               "--iters", str(iters)]
+        try:
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=1200, check=True).stdout
+        except (FileNotFoundError, subprocess.CalledProcessError):
+            # no taskset (or pinned run failed): fall back unpinned, which
+            # under-reports efficiency — flagged in the output
+            cmd = [sys.executable, me, "--measure", str(n_dev),
+                   "--per-device", str(per_device), "--iters", str(iters)]
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=1200, check=True).stdout
+            rec = json.loads(out.strip().splitlines()[-1])
+            rec["pinned"] = False
+            return rec
+        rec = json.loads(out.strip().splitlines()[-1])
+        rec["pinned"] = True
+        return rec
+
+    base = run_pinned(1, "0")
+    multi = run_pinned(n, ",".join(str(c % ncores) for c in range(n)))
+    eff = multi["cands_per_s"] / (n * base["cands_per_s"])
+    print(json.dumps({
+        "devices": n,
+        "cores": ncores,
+        "per_device_batch": per_device,
+        "pinned": base["pinned"] and multi["pinned"],
+        "cands_per_s_1dev": base["cands_per_s"],
+        f"cands_per_s_{n}dev": multi["cands_per_s"],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--per-device", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--devices", type=int, default=8,
+                    help="target mesh size (capped at the core count)")
+    ap.add_argument("--measure", type=int, default=0,
+                    help="internal: run one pinned measurement at N devices")
+    args = ap.parse_args()
+    if args.measure:
+        measure(args.measure, args.per_device, args.iters)
+    else:
+        orchestrate(args.per_device, args.iters, args.devices)
+
+
+if __name__ == "__main__":
+    main()

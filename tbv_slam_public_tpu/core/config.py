@@ -136,6 +136,10 @@ class VerificationConfig:
 
     coral_radius: float = 1.0
     coral_entropy_eps: float = 1e-8
+    # CorAl scoring mode: "entropy" (ent_cfg=entropy, the published TBV
+    # configuration) or "kl" (ent_cfg=kl, ComputeKLDiv
+    # AlignmentQuality.cpp:49-73)
+    coral_mode: str = "entropy"
     cfear_loss_limit: float = 0.3
     peaks_capacity: int = 4096  # padded peaks per aggregated verification cloud
     # combined 6-feature alignment model [1 + 3 CorAl + 3 CFEAR]
@@ -189,14 +193,28 @@ class PGOConfig:
     cauchy_scale: float = 0.1  # Cauchy loss on loop edges
     lago_init: bool = True  # two-stage linear (rotation/position) init
     max_iterations: int = 64
-    # Ceres' default is 1e-6 (in f64); 1e-5 sits just above the f32
-    # cost-evaluation noise floor of the on-device solver — tighter values
-    # only buy noise-level cost changes at tens of extra iterations.
-    function_tolerance: float = 1e-5
-    # Explore {0.1, 1, 10}x lambda per iteration (3 solves amortizing one
-    # Hessian assembly) instead of classic accept/reject LM.  Costs ~2x per
-    # iteration, roughly halves iteration count; disable for the smallest
-    # compiled program at very large graphs.
+    # Termination (r3, measured on the real-odometry Oxford 10-12-32
+    # instance): this pose-graph problem is LARGE-RESIDUAL (real odometry
+    # disagrees with loop closures at the optimum — that is the point), so
+    # Gauss-Newton/LM converges LINEARLY even with exact f64 solves
+    # (verified against scipy splu: cost ratio ~0.5-0.9/iter forever), while
+    # the trajectory estimate is stationary much earlier: ATE is flat
+    # (3.5-3.8 m, fluctuating) from the first iteration whose relative cost
+    # decrease falls under ~1%.  1e-2 with the two-consecutive-small rule
+    # stops there; tightening to 1e-5 buys ~45 more iterations and ZERO ATE
+    # change (measured: 3.58 vs 3.60 m on the 4470-node instance).
+    function_tolerance: float = 1e-2
+    # Line-search LM (the default, r3): ONE structured solve per iteration
+    # at the current lambda, then pick the best step SCALE from step_ladder
+    # by plain cost evaluations (cheap — no extra factorizations).  Measured
+    # on the real-odometry Oxford instance this halves the per-iteration
+    # solve count vs the r2 damping ladder at identical final ATE.  When the
+    # full step wins, lambda shrinks (Gauss-Newton regime); when a damped
+    # step wins, lambda grows (trust-region shrink).
+    line_search: bool = True
+    step_ladder: Tuple[float, ...] = (1.0, 0.5, 0.25)
+    # Legacy r2 strategy (used when line_search=False): explore
+    # damping_ladder x lambda per iteration — one structured solve each.
     tri_damping: bool = True
     # damping multipliers explored per iteration when tri_damping is on;
     # fewer candidates = proportionally cheaper iterations (each is one

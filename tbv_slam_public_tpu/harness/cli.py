@@ -377,6 +377,94 @@ def cmd_reoptimize(args, overrides: List[str]) -> int:
     return 0
 
 
+def cmd_constraints(args, overrides: List[str]) -> int:
+    """Dump / re-verify the loop constraints of a saved full graph.
+
+    The DebugConstraints analogue (loopclosure.cpp:809-863) without the
+    interactive getchar/rviz loop: every loop-type constraint is listed with
+    its relative pose, measured covariance and — when the checkpoint carries
+    scan payloads and ``--reverify`` is set — a freshly recomputed alignment
+    quality (PredAlignment at the stored t_be, alignmentinterface.cpp:349-368)
+    so stored acceptance decisions can be audited offline.  With GT present,
+    each constraint also gets the EvaluationManager label geometry (<4 m,
+    <2.5 deg positive-ok gate, EvaluationManager.cpp:12-27).
+    """
+    import csv
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..core import se2
+    from ..core.types import ODOMETRY
+    from ..io import checkpoint
+    from ..models import verification as verif
+    from ..ops import logistic
+
+    cfg = _build_cfg(dict(num_azimuths=400, num_range_bins=3768,
+                          range_res=0.0438), overrides)
+    z = np.load(args.graph)
+    has_payloads = "peaks_xy" in z.files
+    graph = checkpoint.load_full_graph(args.graph, cfg)
+    gt = graph.gt_array()
+    slam = None
+    if args.reverify:
+        if not has_payloads:
+            print("error: checkpoint has no scan payloads; re-save with "
+                  "save_full_graph(..., slam=...)", file=sys.stderr)
+            return 2
+        slam = checkpoint.load_full_graph_slam(args.graph, cfg)
+    align_model = logistic.from_values(cfg.verification.alignment_coefs[0],
+                                       cfg.verification.alignment_coefs[1:])
+
+    rows = []
+    for ed in graph.edges:
+        if ed["etype"] == ODOMETRY:
+            continue
+        a, b = ed["idx"]
+        row = dict(id_from=int(a), id_to=int(b), etype=int(ed["etype"]),
+                   t_x=float(ed["meas"][0]), t_y=float(ed["meas"][1]),
+                   t_yaw=float(ed["meas"][2]),
+                   has_cov=ed.get("cov") is not None)
+        if ed.get("cov") is not None:
+            c = np.asarray(ed["cov"])
+            row.update(cov_xx=float(c[0, 0]), cov_yy=float(c[1, 1]),
+                       cov_tt=float(c[2, 2]))
+        if gt is not None:
+            t_gt = np.asarray(se2.relative(jnp.asarray(gt[a]),
+                                           jnp.asarray(gt[b])))
+            err_t = float(np.linalg.norm(ed["meas"][:2] - t_gt[:2]))
+            err_r = abs(float(se2.wrap_angle(
+                jnp.asarray(ed["meas"][2] - t_gt[2]))))
+            row.update(gt_err_m=round(err_t, 4),
+                       gt_err_deg=round(np.degrees(err_r), 4),
+                       positive_ok=bool(err_t < 4.0
+                                        and err_r < np.radians(2.5)))
+        if slam is not None:
+            lp = slam.loops
+            x6 = verif.alignment_features(
+                lp.kf_peaks[a], lp.kf_cells[a], jnp.zeros(3, jnp.float32),
+                lp.kf_peaks[b], lp.kf_cells[b],
+                jnp.asarray(ed["meas"], jnp.float32), cfg.verification)
+            row["alignment_quality"] = float(
+                logistic.predict_linear(align_model, x6))
+        rows.append(row)
+
+    if args.output:
+        os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+        keys = sorted({k for r in rows for k in r})
+        with open(args.output, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=keys)
+            w.writeheader()
+            w.writerows(rows)
+    n_pos = sum(1 for r in rows if r.get("positive_ok"))
+    print(json.dumps(dict(n_loops=len(rows),
+                          n_with_cov=sum(1 for r in rows if r["has_cov"]),
+                          n_positive_ok=n_pos if gt is not None else None,
+                          reverified=slam is not None,
+                          rows=rows if args.print_rows else None)))
+    return 0
+
+
 def cmd_eval(args, overrides: List[str]) -> int:
     from ..eval import kitti
 
@@ -427,6 +515,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--solver", default="auto",
                    choices=["auto", "schur", "cholesky", "cg"])
     p.set_defaults(fn=cmd_reoptimize)
+
+    p = sub.add_parser("constraints")
+    p.add_argument("--graph", required=True)
+    p.add_argument("--output", default="")
+    p.add_argument("--reverify", action="store_true")
+    p.add_argument("--print-rows", action="store_true")
+    p.set_defaults(fn=cmd_constraints)
 
     p = sub.add_parser("eval")
     p.add_argument("--gt", required=True)

@@ -189,6 +189,12 @@ class CandidateResult(struct.PyTreeNode):
     reg_score: jnp.ndarray  # [K]
     reg_ok: jnp.ndarray  # [K] bool
     valid: jnp.ndarray  # [K] bool
+    # Measured registration covariance per pair (sampled quadratic-fit
+    # Hessian around the optimum — the reference's loop-constraint
+    # covariance, loopclosure.cpp:99-208), consumed by the PGO's
+    # replace_cov_by_identity=false path (ceresoptimizer.cpp:92-100).
+    cov: jnp.ndarray  # [K, 3, 3]
+    cov_ok: jnp.ndarray  # [K] bool (quadratic fit convex)
 
 
 def _loop_registration_cfg(cfg: TBVConfig):
@@ -206,9 +212,13 @@ def _loop_registration_cfg(cfg: TBVConfig):
 def _pair_register_verify(q_cells, q_peaks, c_cells, c_peaks, taug, yaw,
                           align_model, cfg: TBVConfig):
     """One (query, candidate) pair: P2L registration from the SC guess, then
-    CorAl+CFEAR alignment features at the registered relative pose.
+    CorAl+CFEAR alignment features at the registered relative pose, plus the
+    sampled registration covariance at the optimum (the reference's
+    loop-constraint covariance, approximateCovarianceBySampling duplicated
+    at loopclosure.cpp:99-208).
 
-    Returns (t_be [3], reg_score, reg_ok, align_quality)."""
+    Returns (t_be [3], reg_score, reg_ok, align_quality, cov [3,3], cov_ok).
+    """
     loop_rcfg = _loop_registration_cfg(cfg)
     rot = jnp.stack([jnp.zeros_like(yaw), jnp.zeros_like(yaw), yaw], -1)
     guess = se2.compose(se2.inverse(taug), rot)
@@ -217,11 +227,14 @@ def _pair_register_verify(q_cells, q_peaks, c_cells, c_peaks, taug, yaw,
         q_cells, jnp.zeros(3, jnp.float32), tgt, guess[None],
         jnp.ones(1, bool), loop_rcfg)
     t_be = se2.relative(res.pose, guess)
+    cov, cov_ok = reg_op.sampled_covariance(
+        q_cells, res.pose, tgt, guess[None], jnp.ones(1, bool), loop_rcfg,
+        res.score, res.num_residuals)
     x6 = verif.alignment_features(
         q_peaks, q_cells, jnp.zeros(3, jnp.float32),
         c_peaks, c_cells, t_be, cfg.verification)
     align_q = logistic.predict_linear(align_model, x6)
-    return t_be, res.score, res.success, align_q
+    return t_be, res.score, res.success, align_q, cov, cov_ok
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -238,7 +251,7 @@ def register_and_verify_pairs(
     its OWN query — the offline wave form (sequential candidate loop
     loopclosure.cpp:621-733 becomes one vmapped program; shard the M axis
     across chips for multi-chip sweeps)."""
-    t_be, score, reg_ok, align_q = jax.vmap(
+    t_be, score, reg_ok, align_q, cov, cov_ok = jax.vmap(
         lambda a, b, c, d, e, f: _pair_register_verify(
             a, b, c, d, e, f, align_model, cfg)
     )(q_cells, q_peaks, c_cells, c_peaks, taug, yaw)
@@ -248,7 +261,7 @@ def register_and_verify_pairs(
     return CandidateResult(
         t_be=t_be, prob=jnp.where(ok, prob, 0.0), sc_sim=sc_sim,
         odom_bounds=odom_bounds, align_quality=align_q, reg_score=score,
-        reg_ok=reg_ok, valid=ok)
+        reg_ok=reg_ok, valid=ok, cov=cov, cov_ok=cov_ok)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -295,9 +308,13 @@ def register_and_verify(
             q_cells, jnp.zeros(3, jnp.float32), tgt, guess[None],
             jnp.ones(1, bool), loop_rcfg)
         t_be = se2.relative(res.pose, guess)
-        return t_be, res.score, res.success
+        cov, cov_ok = reg_op.sampled_covariance(
+            q_cells, res.pose, tgt, guess[None], jnp.ones(1, bool),
+            loop_rcfg, res.score, res.num_residuals)
+        return t_be, res.score, res.success, cov, cov_ok
 
-    t_be, reg_score, reg_ok = jax.vmap(solve_one)(c_cells, tsrcguess)
+    t_be, reg_score, reg_ok, cov, cov_ok = jax.vmap(solve_one)(
+        c_cells, tsrcguess)
 
     def verify_one(cand_peaks, cand_cells, rel):
         x6 = verif.alignment_features(
@@ -313,7 +330,7 @@ def register_and_verify(
     return CandidateResult(
         t_be=t_be, prob=jnp.where(ok, prob, 0.0), sc_sim=sc_sim,
         odom_bounds=odom_bounds, align_quality=align_q, reg_score=reg_score,
-        reg_ok=reg_ok, valid=ok,
+        reg_ok=reg_ok, valid=ok, cov=cov, cov_ok=cov_ok,
     )
 
 
@@ -324,6 +341,10 @@ class LoopConstraint:
     t_be: np.ndarray  # [3]
     prob: float
     quality: Dict[str, float] = field(default_factory=dict)
+    # Measured registration covariance (Constraint3d information source,
+    # types.h:226-248); None when the sampled quadratic fit was non-convex.
+    # Consumed by PoseGraph when cfg.pgo.replace_cov_by_identity is False.
+    cov: Optional[np.ndarray] = None  # [3, 3]
 
 
 class LoopCloser:
@@ -337,8 +358,13 @@ class LoopCloser:
 
     def __init__(self, cfg: TBVConfig,
                  align_model: Optional[logistic.LogisticModel] = None,
-                 loop_model: Optional[logistic.LogisticModel] = None):
+                 loop_model: Optional[logistic.LogisticModel] = None,
+                 mesh=None):
+        # ``mesh``: optional jax.sharding.Mesh — when given (and spanning
+        # >1 device), process_all_batched shards every pair wave across its
+        # first axis (parallel.candidates.sharded_register_and_verify_pairs)
         self.cfg = cfg
+        self.mesh = mesh
         self.align_model = align_model or logistic.from_values(
             cfg.verification.alignment_coefs[0],
             cfg.verification.alignment_coefs[1:])
@@ -454,8 +480,10 @@ class LoopCloser:
         1. all contexts are built and inserted,
         2. detect() runs vmapped over query waves,
         3. all (query, candidate) pairs register+verify as flat batched
-           waves (register_and_verify_pairs — shard the pair axis across
-           chips via parallel.candidates for multi-chip),
+           waves — on the mesh passed to the constructor the pair axis is
+           sharded across its devices
+           (parallel.candidates.sharded_register_and_verify_pairs);
+           single-device otherwise,
         4. acceptance applies per query in order.
 
         Produces the same constraints as the sequential path (ties in the
@@ -511,11 +539,19 @@ class LoopCloser:
         results = {}
         stack_tree = lambda items: jax.tree.map(
             lambda *x: jnp.stack(x), *items)
+        mesh = self.mesh if (self.mesh is not None
+                             and self.mesh.devices.size > 1) else None
+        align = mesh.devices.size if mesh is not None else 1
+        pair_chunk = ((pair_chunk + align - 1) // align) * align
         for lo in range(0, len(pairs), pair_chunk):
             sel = pairs[lo: lo + pair_chunk]
             n_real = len(sel)
-            if len(pairs) > pair_chunk and n_real < pair_chunk:
-                sel = sel + [sel[-1]] * (pair_chunk - n_real)
+            # pad to the full chunk (one compiled shape) when more waves
+            # follow, and to a multiple of the mesh size always
+            target = pair_chunk if len(pairs) > pair_chunk \
+                else ((n_real + align - 1) // align) * align
+            if n_real < target:
+                sel = sel + [sel[-1]] * (target - n_real)
             q_cells = stack_tree([self.kf_cells[start + qi] for qi, _ in sel])
             q_peaks = stack_tree([self.kf_peaks[start + qi] for qi, _ in sel])
             c_cells = stack_tree(
@@ -530,10 +566,18 @@ class LoopCloser:
                 jnp.float32)
             odom_b = jnp.asarray([det.dist_odom[qi, k] for qi, k in sel],
                                  jnp.float32)
-            res = register_and_verify_pairs(
-                q_cells, q_peaks, c_cells, c_peaks, taug, yaw, sc_sim,
-                odom_b, jnp.ones((len(sel),), bool), self.align_model,
-                self.loop_model, cfg)
+            if mesh is not None:
+                from ..parallel import candidates as par_cand
+
+                res = par_cand.sharded_register_and_verify_pairs(
+                    mesh, q_cells, q_peaks, c_cells, c_peaks, taug, yaw,
+                    sc_sim, odom_b, jnp.ones((len(sel),), bool),
+                    self.align_model, self.loop_model, cfg)
+            else:
+                res = register_and_verify_pairs(
+                    q_cells, q_peaks, c_cells, c_peaks, taug, yaw, sc_sim,
+                    odom_b, jnp.ones((len(sel),), bool), self.align_model,
+                    self.loop_model, cfg)
             res = jax.tree.map(np.asarray, res)
             for i, (qi, k) in enumerate(sel[:n_real]):
                 results[(qi, k)] = jax.tree.map(lambda x: x[i], res)
@@ -562,7 +606,8 @@ class LoopCloser:
                         quality=dict(
                             sc_sim=float(r.sc_sim),
                             odom_bounds=float(r.odom_bounds),
-                            alignment_quality=float(r.align_quality)))
+                            alignment_quality=float(r.align_quality)),
+                        cov=np.asarray(r.cov) if bool(r.cov_ok) else None)
                     self.constraints.append(c)
                     accepted.append(c)
         self._processed = n
@@ -625,7 +670,9 @@ class LoopCloser:
                     quality=dict(
                         sc_sim=float(res.sc_sim[i]),
                         odom_bounds=float(res.odom_bounds[i]),
-                        alignment_quality=float(res.align_quality[i])))
+                        alignment_quality=float(res.align_quality[i])),
+                    cov=np.asarray(res.cov[i]) if bool(res.cov_ok[i])
+                    else None)
                 self.constraints.append(c)
                 accepted.append(c)
         return accepted

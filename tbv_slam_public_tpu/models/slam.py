@@ -38,8 +38,11 @@ class PoseGraph:
     bucket.
     """
 
-    def __init__(self, cfg: TBVConfig):
+    def __init__(self, cfg: TBVConfig, mesh=None):
+        # ``mesh``: optional jax.sharding.Mesh enabling solver="distributed"
+        # (edge-sharded psum-CG over the mesh, parallel.pgo).
         self.cfg = cfg
+        self.mesh = mesh
         self.poses: List[np.ndarray] = []  # current (optimized) estimate
         self.stamps: List[float] = []
         self.gt: List[Optional[np.ndarray]] = []
@@ -134,9 +137,27 @@ class PoseGraph:
         ``solver="auto"`` picks the structured chain+Woodbury solver when the
         odometry edges form the keyframe chain and loops are sparse (the
         normal SLAM case), falling back to the dense Cholesky otherwise.
+        ``solver="distributed"`` runs the edge-sharded psum-CG LM over the
+        mesh passed to the constructor (parallel.pgo.optimize_distributed —
+        the multi-chip path; requires a mesh).
         """
         chunk = self.cfg.pgo.edge_capacity_chunk
         poses, node_mask, edges = self._padded(chunk)
+        if solver == "distributed":
+            if self.mesh is None:
+                raise ValueError("solver='distributed' requires a mesh "
+                                 "(PoseGraph(cfg, mesh=...))")
+            from ..parallel import pgo as par_pgo
+
+            with timing.timer("pose_graph_optimization"):
+                res = par_pgo.optimize_distributed(
+                    self.mesh, jnp.asarray(poses), jnp.asarray(node_mask),
+                    edges, self.cfg.pgo)
+                res.poses.block_until_ready()
+            out = np.asarray(res.poses)
+            for i in range(len(self.poses)):
+                self.poses[i] = out[i]
+            return res
         loop_cap = None
         n_chain = sum(1 for e in self.edges
                       if e["etype"] == ODOMETRY
@@ -194,7 +215,7 @@ class SLAMSummary:
 
 
 def run_offline_slam(cfg: TBVConfig, simple_graph, solver: str = "cholesky",
-                     batched: bool = True) -> "TBVSLAM":
+                     batched: bool = True, mesh=None) -> "TBVSLAM":
     """SLAM from an odometry-stage checkpoint (the tbv_slam_offline path:
     load simple_graph -> loop closure to exhaustion -> one optimization,
     tbv_slam_offline.cpp:215-356).  Returns the populated TBVSLAM; call
@@ -207,7 +228,7 @@ def run_offline_slam(cfg: TBVConfig, simple_graph, solver: str = "cholesky",
     """
     import jax.numpy as jnp
 
-    slam = TBVSLAM(cfg)
+    slam = TBVSLAM(cfg, mesh=mesh)
     g = simple_graph
     n = g.num_keyframes
     take = lambda tree, i: jax.tree.map(lambda x: jnp.asarray(x[i]), tree)
@@ -234,11 +255,14 @@ class TBVSLAM:
     """Full pipeline on one sequence (the tbv_slam_offline analogue,
     tbv_slam_offline.cpp:215-356 — deterministic single-stream schedule)."""
 
-    def __init__(self, cfg: TBVConfig, train_alignment: bool = False):
+    def __init__(self, cfg: TBVConfig, train_alignment: bool = False,
+                 mesh=None):
+        # ``mesh``: optional jax.sharding.Mesh — loop-candidate waves shard
+        # their pair axis and the graph gains solver="distributed".
         self.cfg = cfg
         self.odometry = OdometryPipeline(cfg)
-        self.loops = LoopCloser(cfg)
-        self.graph = PoseGraph(cfg)
+        self.loops = LoopCloser(cfg, mesh=mesh)
+        self.graph = PoseGraph(cfg, mesh=mesh)
         self._frames = 0
         self._kf_to_node: List[int] = []
         self._kf_since_opt = 0

@@ -56,7 +56,8 @@ def alignment_features(
     src_w = _transform_cloud(src_peaks, src_pose)
     ref_w = _transform_cloud(ref_peaks, ref_pose)
     cres = coral.coral_quality(src_w, ref_w, radius=cfg.coral_radius,
-                               eps=cfg.coral_entropy_eps)
+                               eps=cfg.coral_entropy_eps,
+                               mode=cfg.coral_mode)
     x_coral = jnp.stack([cres.joint, cres.sep, cres.overlap])
 
     rcfg = _cfear_eval_cfg(cfg)

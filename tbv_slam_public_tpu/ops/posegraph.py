@@ -745,12 +745,31 @@ def _optimize_impl(poses, node_mask, gauge_mask, edges, cfg, solver,
         _, _, _, _, itr, done, _ = state
         return (itr < cfg.max_iterations) & ~done
 
+    def line_search_pick(p, s, lam):
+        """Candidate = p + alpha*s for alpha in step_ladder; alphas are pure
+        cost evaluations (no factorization), so exploring the step SCALE is
+        ~free compared to the r2 damping ladder's one-solve-per-candidate.
+        Full step accepted -> shrink lambda (Gauss-Newton regime); damped
+        step -> grow it (trust-region shrink)."""
+        alphas = jnp.asarray(cfg.step_ladder, p.dtype)
+
+        def cand_at(a):
+            c = p + a * s
+            c = c.at[:, 2].set(se2.wrap_angle(c[:, 2]))
+            c = jnp.where(gauge_mask[:, None], c, p)
+            return c, graph_cost(c, edges, cfg)
+
+        cands, costs = jax.vmap(cand_at)(alphas)
+        best = jnp.argmin(costs)
+        lam_next = jnp.where(best == 0,
+                             jnp.maximum(lam * 0.5, 1e-12),
+                             jnp.minimum(lam * 4.0, 1e8))
+        return cands[best], costs[best], lam_next
+
     def body(state):
         p, lam, cur, accepted, itr, _, small_prev = state
         cost, g, blocks = _gradient_and_blocks(p, edges, cfg)
         if solver == "schur":
-            # Tri-damping as in the cholesky path, but each solve is the
-            # structured chain+Woodbury solve instead of a dense Cholesky.
             wJb, wJe = blocks
             hdiag = jnp.zeros((n, 3), p.dtype)
             hdiag = hdiag.at[edges.idx[:, 0]].add(
@@ -758,38 +777,38 @@ def _optimize_impl(poses, node_mask, gauge_mask, edges, cfg, solver,
             hdiag = hdiag.at[edges.idx[:, 1]].add(
                 jnp.einsum("eri,eri->ei", wJe, wJe))
             gm = jnp.where(gauge_mask[:, None], g, 0.0)
-            lams = jnp.stack([m * lam for m in cfg.damping_ladder]) \
-                if cfg.tri_damping else jnp.stack([lam])
-
-            def solve_one(l):
+            if cfg.line_search:
                 s = _schur_solve(n, edges, blocks, gauge_mask,
-                                 l * hdiag, gm, loop_idx)
-                c = p + s
-                c = c.at[:, 2].set(se2.wrap_angle(c[:, 2]))
-                c = jnp.where(gauge_mask[:, None], c, p)
-                return c, graph_cost(c, edges, cfg)
-
-            # three damping candidates: batched (vmap) when the batched-rhs
-            # solve temporaries fit comfortably, sequential (lax.map) on
-            # large graphs where 3x peak memory would blow HBM
-            small = n * (3 * loop_idx.shape[0] + 1) * 3 * 4 * 3 < 3e8
-            if small:
-                cands, costs = jax.vmap(solve_one)(lams)
+                                 lam * hdiag, gm, loop_idx)
+                cand, new_cost, lam_next = line_search_pick(p, s, lam)
             else:
-                cands, costs = jax.lax.map(solve_one, lams)
-            best = jnp.argmin(costs)
-            cand = cands[best]
-            new_cost = costs[best]
-            lam_next = jnp.maximum(lams[best] * 0.5, 1e-12)
+                # Legacy damping ladder: one structured solve per candidate.
+                lams = jnp.stack([m * lam for m in cfg.damping_ladder]) \
+                    if cfg.tri_damping else jnp.stack([lam])
+
+                def solve_one(l):
+                    s = _schur_solve(n, edges, blocks, gauge_mask,
+                                     l * hdiag, gm, loop_idx)
+                    c = p + s
+                    c = c.at[:, 2].set(se2.wrap_angle(c[:, 2]))
+                    c = jnp.where(gauge_mask[:, None], c, p)
+                    return c, graph_cost(c, edges, cfg)
+
+                # damping candidates: batched (vmap) when the batched-rhs
+                # solve temporaries fit comfortably, sequential (lax.map) on
+                # large graphs where 3x peak memory would blow HBM
+                small = n * (3 * loop_idx.shape[0] + 1) * 3 * 4 * 3 < 3e8
+                if small:
+                    cands, costs = jax.vmap(solve_one)(lams)
+                else:
+                    cands, costs = jax.lax.map(solve_one, lams)
+                best = jnp.argmin(costs)
+                cand = cands[best]
+                new_cost = costs[best]
+                lam_next = jnp.maximum(lams[best] * 0.5, 1e-12)
         elif solver == "cholesky":
-            # Tri-damping: the Hessian assembly dominates the iteration, so
-            # amortize it over three trust-region radii solved as one
-            # batched Cholesky; pick the best candidate.  Roughly halves the
-            # iteration count of classic accept/reject LM.
             H = _dense_hessian(n, edges, blocks, gauge_mask)
             g_flat = jnp.where(jnp.repeat(gauge_mask, 3), g.reshape(-1), 0.0)
-            lams = jnp.stack([m * lam for m in cfg.damping_ladder]) \
-                if cfg.tri_damping else jnp.stack([lam])
             hdiag = jnp.diagonal(H)
 
             def solve_one(l):
@@ -801,11 +820,20 @@ def _optimize_impl(poses, node_mask, gauge_mask, edges, cfg, solver,
                 c = jnp.where(gauge_mask[:, None], c, p)
                 return c, graph_cost(c, edges, cfg)
 
-            cands, costs = jax.vmap(solve_one)(lams)
-            best = jnp.argmin(costs)
-            cand = cands[best]
-            new_cost = costs[best]
-            lam_next = jnp.maximum(lams[best] * 0.5, 1e-12)
+            if cfg.line_search:
+                hl = H + jnp.diag(lam * hdiag) + 1e-9 * jnp.eye(3 * n)
+                cl = jax.scipy.linalg.cho_factor(hl)
+                s = -jax.scipy.linalg.cho_solve(cl, g_flat)
+                cand, new_cost, lam_next = line_search_pick(
+                    p, s.reshape(n, 3), lam)
+            else:
+                lams = jnp.stack([m * lam for m in cfg.damping_ladder]) \
+                    if cfg.tri_damping else jnp.stack([lam])
+                cands, costs = jax.vmap(solve_one)(lams)
+                best = jnp.argmin(costs)
+                cand = cands[best]
+                new_cost = costs[best]
+                lam_next = jnp.maximum(lams[best] * 0.5, 1e-12)
         else:
             r, Jb, Je = _edge_jacobians(p, edges)
             _, w = _cauchy_weights(r, edges, cfg)

@@ -66,6 +66,31 @@ def sharded_register_and_verify(
         put_s(cand_valid), put_r(align_model), put_r(loop_model), cfg)
 
 
+def sharded_register_and_verify_pairs(
+    mesh: Mesh,
+    q_cells: Cells, q_peaks: PointCloud,  # [M, ...] per-pair queries
+    c_cells: Cells, c_peaks: PointCloud,  # [M, ...] candidates
+    taug: jnp.ndarray, yaw: jnp.ndarray, sc_sim: jnp.ndarray,
+    odom_bounds: jnp.ndarray, pair_valid: jnp.ndarray,
+    align_model: logistic.LogisticModel,
+    loop_model: logistic.LogisticModel,
+    cfg: TBVConfig,
+) -> lc.CandidateResult:
+    """Flat pair wave (every element has its OWN query — the offline wave
+    form of LoopCloser.process_all_batched) sharded on the pair axis.
+    M must divide by mesh size; no cross-pair communication, so annotating
+    the batch axis lets XLA partition the vmap exactly."""
+    axis = mesh.axis_names[0]
+    shard = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    put_s = lambda t: jax.tree.map(lambda x: jax.device_put(x, shard), t)
+    put_r = lambda t: jax.tree.map(lambda x: jax.device_put(x, repl), t)
+    return lc.register_and_verify_pairs(
+        put_s(q_cells), put_s(q_peaks), put_s(c_cells), put_s(c_peaks),
+        put_s(taug), put_s(yaw), put_s(sc_sim), put_s(odom_bounds),
+        put_s(pair_valid), put_r(align_model), put_r(loop_model), cfg)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def _training_features_and_fit(
     cur_peaks, cur_cells, cur_poses,  # [B, ...] dp-sharded scan pairs

@@ -275,14 +275,21 @@ def test_realistic_drift_loop_closure_at_scale():
 
 
 def test_real_odometry_drift_loop_closure():
-    """Real-data PGO evidence (VERDICT r1 #2/#3): the initial estimate is
-    the reference's OWN published CFEAR odometry for Oxford 10-12-32
-    (evaluation/data/oxford_all_tbv_model_8/job_0/odom/01.txt), resampled at
-    the keyframe GT arc-lengths — i.e. the measured drift profile, not a
-    synthetic noise model.  Loop edges are GT revisits with accepted-loop
-    registration accuracy.  PGO must recover most of the real drift; on the
-    full 4470-keyframe sequence this lands at ~1.3 m vs the published SLAM
-    ATE of 4.07 m (see bench.py stage 3 / PARITY.md)."""
+    """Real-data PGO evidence (VERDICT r2 #1 — the headline regression):
+    the initial estimate is the reference's OWN published CFEAR odometry for
+    Oxford 10-12-32 (evaluation/data/oxford_all_tbv_model_8/job_0/odom/
+    01.txt) at the EXACT keyframe correspondence recovered by replaying the
+    reference's 1.5 m/5 deg keyframe gate (odometrykeyframefuser.cpp:62-73)
+    over the 8617-frame trajectory — the gate selects exactly the 4470
+    keyframes of gt/00.txt, and the fixture's keyframe odometry ATE is
+    7.298 m vs the published full-rate 7.293 m (odom/result.txt:4).  Loop
+    edges are GT revisits with accepted-loop registration accuracy (the
+    oracle for retrieval+registration, isolating the PGO).
+
+    The claim under test: PGO recovers the REAL drift into the published
+    SLAM band — 7.30 m odometry ATE -> below the published TBV SLAM result
+    of 4.072 m (est/result.txt:4).  Measured r3 behavior: 3.61 m in 17 LM
+    iterations (see BENCH_r03 / PARITY.md)."""
     import os
 
     from tbv_slam_public_tpu.eval import trajectory as tj
@@ -291,10 +298,10 @@ def test_real_odometry_drift_loop_closure():
     fx = os.path.join(os.path.dirname(__file__), "fixtures",
                       "oxford_10-12-32_real_odometry.npz")
     z = np.load(fx)
-    sl = slice(0, 2016)  # CI-sized slice of the route (>= 100 revisit loops)
-    inst = simulate.make_real_odometry_pgo_instance(z["odom"][sl],
-                                                    z["gt"][sl], seed=0)
-    assert inst.n_loops >= 30
+    inst = simulate.make_real_odometry_pgo_instance(z["odom"], z["gt"],
+                                                    seed=0)
+    # the full route has 411 revisit loops at stride 2 (find_loop_pairs)
+    assert inst.n_loops >= 400, inst.n_loops
     cfg = PGOConfig()
     n = len(inst.poses)
     ncap = ((n + 31) // 32) * 32
@@ -311,9 +318,10 @@ def test_real_odometry_drift_loop_closure():
     ate0 = tj.ate_rmse(inst.poses, inst.gt)
     ate1 = tj.ate_rmse(est, inst.gt)
     assert float(res.cost) < float(res.cost0)
-    # real odometry drift on this slice is metres; PGO must cut it >= 2x
-    assert ate0 > 2.0, ate0
-    assert ate1 < 0.5 * ate0, (ate0, ate1)
+    # the fixture must carry the real drift (published keyframe ATE 7.298)
+    assert 6.5 < ate0 < 8.0, ate0
+    # PGO must land the real trajectory inside the published SLAM band
+    assert ate1 < 4.072, (ate0, ate1)
 
 
 def test_planar_restriction_matches_se3_residual(rng):

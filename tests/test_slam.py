@@ -97,6 +97,53 @@ def test_candidate_log_records_features(slam_run):
         assert key in row
 
 
+def test_loop_constraints_carry_measured_covariance(slam_run):
+    """VERDICT r2 #4: accepted loops must carry the sampled registration
+    covariance (loopclosure.cpp:99-208), and the PGO's measured-information
+    path (replace_cov_by_identity=False, ceresoptimizer.cpp:92-100) must
+    consume it end-to-end — measurably changing the solution vs the
+    identity-scaled path."""
+    import dataclasses
+
+    from tbv_slam_public_tpu.models.slam import PoseGraph
+
+    _, slam, summary, odom_poses = slam_run
+    loops = [e for e in slam.graph.edges if e["etype"] != 0]
+    assert loops, "fixture run accepted no loops"
+    with_cov = [e for e in loops if e.get("cov") is not None]
+    assert with_cov, "no accepted loop carries a measured covariance"
+    c = with_cov[0]["cov"]
+    assert c.shape == (3, 3)
+    assert np.all(np.linalg.eigvalsh(0.5 * (c + c.T)) > 0), c
+
+    # Re-optimize the same graph twice from the same initial estimate:
+    # identity-scaled vs measured information.  The sqrt-information
+    # actually differs, so the solutions must differ (but both converge).
+    def rebuilt(replace_identity: bool) -> PoseGraph:
+        cfg2 = dataclasses.replace(
+            slam.cfg, pgo=dataclasses.replace(
+                slam.cfg.pgo, replace_cov_by_identity=replace_identity))
+        g = PoseGraph(cfg2)
+        for i, p in enumerate(odom_poses):
+            g.add_node(p, gt=slam.graph.gt[i])
+        g.edges = [dict(e) for e in slam.graph.edges]
+        # restore the pre-optimization estimate (add_node stored it)
+        return g
+
+    g_id, g_meas = rebuilt(True), rebuilt(False)
+    res_id = g_id.optimize(solver="schur")
+    res_meas = g_meas.optimize(solver="schur")
+    assert float(res_id.cost) < float(res_id.cost0)
+    assert float(res_meas.cost) < float(res_meas.cost0)
+    diff = np.abs(g_id.poses_array() - g_meas.poses_array()).max()
+    assert diff > 1e-5, "measured covariances did not change the solution"
+    # and the measured path must still produce a sane map
+    gt = g_meas.gt_array()
+    ate_meas = traj_eval.ate_rmse(g_meas.poses_array(), gt)
+    ate_odom = traj_eval.ate_rmse(odom_poses, gt)
+    assert ate_meas <= ate_odom * 1.05, (ate_meas, ate_odom)
+
+
 def test_online_periodic_optimization_and_training():
     """Online-mode parity (VERDICT r1 #7): periodic PGO epochs during the run
     (OptimizerThread cadence, posegraph.cpp:132-149) and in-run alignment

@@ -59,6 +59,40 @@ def test_coral_separates_aligned_from_misaligned():
     assert float(aligned.joint) < float(misaligned.joint)
 
 
+def test_coral_kl_mode():
+    """KL-divergence mode (VERDICT r2 missing #5; ent_cfg=kl,
+    ComputeKLDiv AlignmentQuality.cpp:49-73): identical clouds score near
+    the reference's KL(sep||sep) constant of -0.5 (its k=3 convention);
+    misaligned clouds score strictly higher; sep stays 0 in this mode."""
+    rng = np.random.default_rng(1)
+    world = simulate.make_world(rng, num_walls=40, extent=40.0)
+    rcfg = RadarConfig(num_azimuths=200, num_range_bins=256, range_res=0.3,
+                       k_strongest=12, min_distance=1.0, max_distance=70.0)
+    img1 = simulate.render_scan(world, np.zeros(3), num_azimuths=200,
+                                num_range_bins=256, range_res=0.3,
+                                rng=np.random.default_rng(2))
+    img2 = simulate.render_scan(world, np.zeros(3), num_azimuths=200,
+                                num_range_bins=256, range_res=0.3,
+                                rng=np.random.default_rng(3))
+    _, peaks1 = radar.kstrongest_filter(img1, rcfg)
+    _, peaks2 = radar.kstrongest_filter(img2, rcfg)
+    p1 = coral.compact_cloud(peaks1, 1024)
+    p2 = coral.compact_cloud(peaks2, 1024)
+
+    same = coral.coral_quality(p1, p1, radius=1.0, mode="kl")
+    # src points contribute exactly -0.5 each; ref points KL(sep||joint) of
+    # an identical doubled cloud is also ~-0.5 + tiny sampling effects
+    assert abs(float(same.joint) + 0.5) < 0.2, float(same.joint)
+    assert float(same.sep) == 0.0
+    # discrimination holds for SUB-RADIUS misalignments (beyond the 1 m
+    # neighborhood radius the overlap gate removes the displaced points
+    # instead — the entropy mode covers that regime)
+    aligned = coral.coral_quality(p1, p2, radius=1.0, mode="kl")
+    shifted = p2.replace(xy=p2.xy + jnp.asarray([0.4, 0.3]))
+    misaligned = coral.coral_quality(p1, shifted, radius=1.0, mode="kl")
+    assert float(aligned.joint) < float(misaligned.joint)
+
+
 def test_coral_no_overlap_invalid():
     src = cloud_from(np.random.default_rng(4).normal(size=(50, 2)))
     ref = cloud_from(np.random.default_rng(5).normal(size=(50, 2)) + 100.0)
