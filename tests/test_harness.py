@@ -66,6 +66,33 @@ def test_reoptimize_cli(odometry_out, tmp_path, capsys):
     assert os.path.exists(reopt)
 
 
+def test_constraints_cli(odometry_out, tmp_path, capsys):
+    """DebugConstraints analogue (loopclosure.cpp:809-863): dump the loop
+    constraints of a saved full graph with GT label geometry + measured
+    covariances, and re-verify alignment quality from the stored payloads."""
+    out = str(tmp_path / "slam")
+    rc = cli.main(["slam", "--graph",
+                   os.path.join(odometry_out, "simple_graph.npz"),
+                   "--output", out] + FAST)
+    assert rc == 0
+    capsys.readouterr()
+    csv_out = str(tmp_path / "constraints.csv")
+    rc = cli.main(["constraints", "--graph",
+                   os.path.join(out, "full_graph.npz"),
+                   "--reverify", "--output", csv_out] + FAST)
+    assert rc == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["n_loops"] >= 1
+    assert m["reverified"] is True
+    # measured covariances flow slam -> checkpoint -> dump (VERDICT r2 #4)
+    assert m["n_with_cov"] >= 1
+    assert os.path.exists(csv_out)
+    header = open(csv_out).readline()
+    for col in ("id_from", "id_to", "gt_err_m", "positive_ok",
+                "alignment_quality", "cov_xx"):
+        assert col in header, col
+
+
 def test_eval_cli(odometry_out, tmp_path, capsys):
     gt = os.path.join(odometry_out, "odom", "00_gt.txt")
     est = os.path.join(odometry_out, "odom", "00.txt")
