@@ -97,3 +97,28 @@ def scale(pose: jnp.ndarray, factor) -> jnp.ndarray:
         [pose[..., 0] * factor, pose[..., 1] * factor, pose[..., 2] * factor],
         axis=-1,
     )
+
+
+# ---- NumPy host-side variants -------------------------------------------
+# For host driver loops (keyframe bookkeeping, local-map aggregation): on a
+# tunneled TPU every tiny jnp op in a Python loop costs a network round
+# trip, so host geometry must stay host-side.
+
+def relative_np(a, b):
+    """NumPy wrap(a^-1 * b) for [3] poses."""
+    import numpy as _np
+
+    c, s = _np.cos(a[2]), _np.sin(a[2])
+    d = b[:2] - a[:2]
+    th = (b[2] - a[2] + _np.pi) % (2 * _np.pi) - _np.pi
+    return _np.asarray([c * d[0] + s * d[1], -s * d[0] + c * d[1], th],
+                       _np.float32)
+
+
+def apply_np(pose, points):
+    """NumPy pose application to [P, 2] points."""
+    import numpy as _np
+
+    c, s = _np.cos(pose[2]), _np.sin(pose[2])
+    r = _np.asarray([[c, -s], [s, c]], points.dtype)
+    return points @ r.T + _np.asarray(pose[:2], points.dtype)

@@ -394,7 +394,7 @@ class LoopCloser:
                 # the cap binds: weakest returns are dropped — keep it
                 # observable (time_statistics.txt counter) instead of silent
                 timing.document("peaks_capacity_dropped", n_valid - cap)
-            peaks = jax.tree.map(np.asarray, coral.compact_cloud(
+            peaks = jax.device_get(coral.compact_cloud(
                 jax.tree.map(jnp.asarray, peaks), cap))
         self.kf_peaks.append(peaks)
         self.kf_cells.append(cells)
@@ -412,9 +412,10 @@ class LoopCloser:
         hi = min(len(self.kf_odom) - 1, q + n_agg)
         for i in range(lo, hi + 1):
             pc = self.kf_peaks[i]
-            rel = np.asarray(se2.relative(jnp.asarray(center),
-                                          jnp.asarray(self.kf_odom[i])))
-            xy = np.asarray(se2.apply(jnp.asarray(rel), jnp.asarray(pc.xy)))
+            # host-side geometry: tiny jnp ops in this loop would cost a
+            # device round trip each (ruinous through a tunneled TPU)
+            rel = se2.relative_np(center, self.kf_odom[i])
+            xy = se2.apply_np(rel, np.asarray(pc.xy))
             xs.append(xy)
             ins.append(np.asarray(pc.intensity))
             ms.append(np.asarray(pc.mask))
@@ -578,7 +579,7 @@ class LoopCloser:
                     q_cells, q_peaks, c_cells, c_peaks, taug, yaw, sc_sim,
                     odom_b, jnp.ones((len(sel),), bool), self.align_model,
                     self.loop_model, cfg)
-            res = jax.tree.map(np.asarray, res)
+            res = jax.device_get(res)
             for i, (qi, k) in enumerate(sel[:n_real]):
                 results[(qi, k)] = jax.tree.map(lambda x: x[i], res)
 
@@ -623,7 +624,7 @@ class LoopCloser:
                                 jnp.asarray(self.kf_odom[q]))
         with timing.timer("loop_detect"):
             det = detect(self.db, descs, rings, jnp.asarray(q), cfg)
-            det = jax.tree.map(np.asarray, det)
+            det = jax.device_get(det)
         if not bool(det.valid.any()):
             return []
 
@@ -643,7 +644,7 @@ class LoopCloser:
                 jnp.asarray(det.dist_odom, jnp.float32),
                 jnp.asarray(det.valid),
                 self.align_model, self.loop_model, cfg)
-            res = jax.tree.map(np.asarray, res)
+            res = jax.device_get(res)
 
         for i in range(k):
             if not bool(det.valid[i]):

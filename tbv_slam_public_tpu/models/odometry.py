@@ -244,25 +244,32 @@ class OdometryPipeline:
         else:
             with timing.timer("odometry_step"):
                 self.state, out = odometry_step(self.state, image, self.cfg)
-                out.pose.block_until_ready()
-        self.frame_poses.append(np.asarray(out.pose))
+        # ONE device->host fetch for the per-frame scalars (a tunneled TPU
+        # pays a network round trip per transfer — per-leaf np.asarray()
+        # calls were the e2e pipeline's dominant cost, not compute)
+        pose_h, cov_h, fused_h, constraint_h = jax.device_get(
+            (out.pose, out.cov, out.fused, out.constraint))
+        self.frame_poses.append(pose_h)
         self.frame_stamps.append(stamp)
-        self.frame_covs.append(np.asarray(out.cov))
-        if bool(out.fused):
+        self.frame_covs.append(cov_h)
+        if bool(fused_h):
             kf_idx = len(self.kf_poses)
-            self.kf_poses.append(np.asarray(out.pose))
+            self.kf_poses.append(pose_h)
             self.kf_stamps.append(stamp)
             if gt_pose is not None:
                 self.kf_gt.append(np.asarray(gt_pose, np.float32))
-            self.kf_cells.append(jax.tree.map(np.asarray, out.cells))
-            self.kf_peaks.append(jax.tree.map(np.asarray, out.peaks))
-            self.kf_clouds.append(jax.tree.map(np.asarray, out.cloud))
+            # second (and last) fetch: the keyframe payload trees together
+            cells_h, peaks_h, cloud_h = jax.device_get(
+                (out.cells, out.peaks, out.cloud))
+            self.kf_cells.append(cells_h)
+            self.kf_peaks.append(peaks_h)
+            self.kf_clouds.append(cloud_h)
             if self._last_kf_idx is not None:
                 self.kf_constraints.append(dict(
                     id_begin=self._last_kf_idx,
                     id_end=kf_idx,
-                    t_be=np.asarray(out.constraint),
-                    cov=np.asarray(out.cov),
+                    t_be=constraint_h,
+                    cov=cov_h,
                 ))
             self._last_kf_idx = kf_idx
         return out

@@ -212,7 +212,7 @@ class ProximityCloser:
                     jnp.asarray(odom_b[[i for i in sel]], jnp.float32),
                     jnp.ones((m,), bool),
                     loops.align_model, loops.loop_model, cfg)
-                res = jax.tree.map(np.asarray, res)
+                res = jax.device_get(res)
                 for k in range(n_real):
                     i = sel[k]
                     r = jax.tree.map(lambda x: x[k], res)

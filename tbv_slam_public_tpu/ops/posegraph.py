@@ -430,7 +430,8 @@ def _partitioned_tridiag_solve(D, O, b, seg: int):
                                       b)
 
 
-def _schur_solve(n, edges, blocks, gauge_mask, lam_diag, g, loop_idx):
+def _schur_solve(n, edges, blocks, gauge_mask, lam_diag, g, loop_idx,
+                 refine_level: int = 2):
     """Direct solve of (H + damping) x = -g exploiting SLAM structure:
     H = T + U^T U where T is the block-tridiagonal odometry-chain part
     (+ damping + gauge) and U stacks the whitened loop-edge jacobian rows.
@@ -590,7 +591,7 @@ def _schur_solve(n, edges, blocks, gauge_mask, lam_diag, g, loop_idx):
     cap_inv = jsl.cho_solve(jsl.cho_factor(cap + 1e-9 * eye_l), eye_l)
 
     def woodbury(bv):  # [N,3] -> (T + U^T U)^{-1} bv, reusing tut/cap
-        tbv = solve_t(bv[:, :, None], refine=True)[..., 0]
+        tbv = solve_t(bv[:, :, None], refine=refine_level >= 1)[..., 0]
         z = cap_inv @ apply_u(tbv[:, :, None])[:, 0]
         return tbv - jnp.einsum("nik,k->ni", tut, z)
 
@@ -605,7 +606,8 @@ def _schur_solve(n, edges, blocks, gauge_mask, lam_diag, g, loop_idx):
         return jnp.where(gauge_mask[:, None], out, xv)
 
     x = woodbury(b)
-    x = x + woodbury(b - matvec_h(x))  # full-solve refinement
+    if refine_level >= 2:
+        x = x + woodbury(b - matvec_h(x))  # full-solve refinement
     return jnp.where(gauge_mask[:, None], x, 0.0)
 
 
@@ -779,7 +781,8 @@ def _optimize_impl(poses, node_mask, gauge_mask, edges, cfg, solver,
             gm = jnp.where(gauge_mask[:, None], g, 0.0)
             if cfg.line_search:
                 s = _schur_solve(n, edges, blocks, gauge_mask,
-                                 lam * hdiag, gm, loop_idx)
+                                 lam * hdiag, gm, loop_idx,
+                                 refine_level=cfg.schur_refine)
                 cand, new_cost, lam_next = line_search_pick(p, s, lam)
             else:
                 # Legacy damping ladder: one structured solve per candidate.
@@ -788,7 +791,8 @@ def _optimize_impl(poses, node_mask, gauge_mask, edges, cfg, solver,
 
                 def solve_one(l):
                     s = _schur_solve(n, edges, blocks, gauge_mask,
-                                     l * hdiag, gm, loop_idx)
+                                     l * hdiag, gm, loop_idx,
+                                     refine_level=cfg.schur_refine)
                     c = p + s
                     c = c.at[:, 2].set(se2.wrap_angle(c[:, 2]))
                     c = jnp.where(gauge_mask[:, None], c, p)
