@@ -40,14 +40,39 @@ FIXTURE_REAL_ODOM = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "oxford_10-12-32_real_odometry.npz")
 
 
-def _timeit(fn, iters=10):
-    import jax
-    jax.block_until_ready(fn())  # warmup/compile
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+def _slope_time(fn_chained, n_lo, n_hi):
+    """TRUE per-iteration seconds on a lazily-executing device (r3 fix).
+
+    The tunneled TPU backend used by this environment evaluates lazily:
+    futures whose values are never fetched to the host are DROPPED, and
+    ``jax.block_until_ready`` returns without forcing execution — so naive
+    block_until_ready loop timing (the r1/r2 ``_timeit``, since removed)
+    measured Python dispatch only
+    (measured: a 4-TFLOP matmul chain "completed" in 0.04 ms; fetching its
+    value took 14.7 s).  Methodology here:
+
+    - ``fn_chained(eps) -> eps'`` must thread a scalar through the real
+      computation (input perturbation -> output reduction), so ONE host
+      fetch of the final eps forces the whole chain to execute;
+    - the slope between two chain lengths cancels the constant ~27 ms
+      tunnel round trip and any one-off dispatch cost.
+    """
+    import jax.numpy as jnp
+
+    eps = fn_chained(jnp.float32(0))
+    np.asarray(eps)  # warmup/compile + sync
+
+    def total(k):
+        e = jnp.float32(0)
+        t0 = time.perf_counter()
+        for _ in range(k):
+            e = fn_chained(e)
+        np.asarray(e)
+        return time.perf_counter() - t0
+
+    t_lo = total(n_lo)
+    t_hi = total(n_hi)
+    return max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)
 
 
 def _enable_compile_cache():
@@ -146,14 +171,26 @@ def main():
     # ---- stage 1: odometry frame step ------------------------------------
     state = {}
 
+    def _tree_reduce(*trees):
+        acc = jnp.float32(0)
+        for t in trees:
+            for leaf in jax.tree.leaves(t):
+                acc = acc + jnp.sum(jnp.asarray(leaf, jnp.float32))
+        return acc * 1e-30
+
     def stage_odometry():
         ostate = odometry.init_state(cfg)
         img0, *_ = scan_at([0.0, 0.0, 0.0])
         img1, *_ = scan_at([1.0, 0.1, 0.01])
         ostate, _ = odometry.first_frame(ostate, jnp.asarray(img0), cfg)
         image = jnp.asarray(img1)
-        odom_ms = _timeit(
-            lambda: odometry.odometry_step(ostate, image, cfg)[1].pose) * 1e3
+
+        def odo_chained(eps):
+            st = ostate.replace(T_prev=ostate.T_prev + eps)
+            st2, out = odometry.odometry_step(st, image, cfg)
+            return _tree_reduce(out, st2)
+
+        odom_ms = _slope_time(odo_chained, 4, 16) * 1e3
         extra["odometry_step_ms"] = round(odom_ms, 2)
         extra["odometry_vs_realtime"] = round(BASE_ODOM_MS / odom_ms, 2)
         state["ostate"], state["image"] = ostate, image
@@ -166,9 +203,13 @@ def main():
         bstate = jax.tree.map(lambda x: jnp.stack([x] * b_seq),
                               state["ostate"])
         bimage = jnp.stack([state["image"]] * b_seq)
-        bodom_ms = _timeit(
-            lambda: odometry.batched_odometry_step(bstate, bimage, cfg)[1].pose
-        ) * 1e3
+
+        def chained(eps):
+            st = bstate.replace(T_prev=bstate.T_prev + eps)
+            st2, out = odometry.batched_odometry_step(st, bimage, cfg)
+            return _tree_reduce(out, st2)
+
+        bodom_ms = _slope_time(chained, 4, 12) * 1e3
         extra["odometry_frames_per_s_batched"] = round(
             b_seq / (bodom_ms / 1e3), 1)
         extra["odometry_batch"] = b_seq
@@ -203,13 +244,15 @@ def main():
             c_cells = jax.tree.map(lambda x: x[:b], all_cells)
             zeros = jnp.zeros((b,))
 
-            def cand_wave():
-                return lc.register_and_verify(
-                    q_cells, q_peaks, c_cells, c_peaks, jnp.zeros((b, 3)),
-                    zeros, 0.2 + zeros, 0.1 + zeros, jnp.ones((b,), bool),
-                    align_model, loop_model, cfg).prob
+            def cand_wave(eps):
+                res = lc.register_and_verify(
+                    q_cells, q_peaks, c_cells, c_peaks,
+                    jnp.zeros((b, 3)) + eps, zeros, 0.2 + zeros,
+                    0.1 + zeros, jnp.ones((b,), bool),
+                    align_model, loop_model, cfg)
+                return _tree_reduce(res)
 
-            wave_s = _timeit(cand_wave, iters=max(20, 512 // b))
+            wave_s = _slope_time(cand_wave, 3, 9)
             cands_per_s = b / wave_s
             sweep[str(b)] = round(cands_per_s, 2)
             if cands_per_s > best[0]:
@@ -272,9 +315,10 @@ def main():
         solver = args.pgo_solver
         loop_cap = inst.loop_cap if solver == "schur" else None
 
-        def solve():
-            return posegraph.optimize(jposes, jnmask, edges, pgo_cfg,
-                                      solver=solver, loop_cap=loop_cap).poses
+        def solve_chained(eps):
+            res = posegraph.optimize(jposes + eps, jnmask, edges, pgo_cfg,
+                                     solver=solver, loop_cap=loop_cap)
+            return jnp.sum(res.poses) * 1e-30
 
         pgo_res = posegraph.optimize(jposes, jnmask, edges, pgo_cfg,
                                      solver=solver, loop_cap=loop_cap)
@@ -290,7 +334,7 @@ def main():
         extra["pgo_solver"] = solver
         extra["pgo_n_loops"] = int(inst.n_loops)
         flush_partial()
-        pgo_ms = _timeit(solve, iters=5) * 1e3
+        pgo_ms = _slope_time(solve_chained, 2, 6) * 1e3
         extra[f"pgo_{n}node_ms"] = round(pgo_ms, 2)
         extra["pgo_vs_baseline"] = round(BASE_PGO_MS / pgo_ms, 2)
         extra["pgo_ms_per_iteration"] = round(

@@ -231,6 +231,15 @@ class PGOConfig:
     # 1 -> 3.71 m / 196 ms (-23% wall), 0 -> 3.76 m / 242 ms (solve error
     # costs iterations — never worth it).  Default favors accuracy.
     schur_refine: int = 2
+    # Segment-size cap for the partitioned (substructured) chain solve.
+    # Measured end-to-end on the 4470-node real-odometry instance (TPU v5e,
+    # interleaved repeats, deterministic): seg cap 16 -> 200 ms / ATE
+    # 3.539 m, 32 -> 250 ms, 64 -> 260 ms, 128 -> 229 ms / 3.614 m — the
+    # [B, 3(seg-1), 3(seg-1)] batched Cholesky + explicit inverse hits
+    # XLA's fast small-matrix path when the interior stays near the 128-lane
+    # tile (isolated: [140,93,93] factorizes ~100x faster than [35,381,381]),
+    # which outweighs the larger separator system.
+    schur_seg: int = 16
     cg_iterations: int = 100
     cg_tol: float = 1e-6
     init_lambda: float = 1e-6

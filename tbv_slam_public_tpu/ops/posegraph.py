@@ -431,7 +431,7 @@ def _partitioned_tridiag_solve(D, O, b, seg: int):
 
 
 def _schur_solve(n, edges, blocks, gauge_mask, lam_diag, g, loop_idx,
-                 refine_level: int = 2):
+                 refine_level: int = 2, seg_cap: int = 16):
     """Direct solve of (H + damping) x = -g exploiting SLAM structure:
     H = T + U^T U where T is the block-tridiagonal odometry-chain part
     (+ damping + gauge) and U stacks the whitened loop-edge jacobian rows.
@@ -498,10 +498,10 @@ def _schur_solve(n, edges, blocks, gauge_mask, lam_diag, g, loop_idx,
 
     # Partitioned (substructured) solve: pad T with identity blocks to a
     # multiple of the segment size so ANY node count takes the O(1)-depth
-    # path.  Segments of 128 nodes (vs 32) quarter the batch of small
-    # Choleskys/triangular ops — which are latency-bound on TPU — while the
-    # bigger [B, 3(seg-1), K] eliminations stay pure MXU matmuls.
-    seg = min(128, max(4, 1 << (max(n, 2) - 1).bit_length() - 2))
+    # path.  ``seg_cap`` (PGOConfig.schur_seg) bounds the segment size; the
+    # default 16 keeps the batched interior Cholesky on XLA's fast
+    # small-matrix path — measured sweep in core/config.py.
+    seg = min(seg_cap, max(4, 1 << (max(n, 2) - 1).bit_length() - 2))
     pad_n = (-n) % seg
     if pad_n:
         eye_pad = jnp.broadcast_to(jnp.eye(3, dtype=D.dtype), (pad_n, 3, 3))
@@ -782,7 +782,8 @@ def _optimize_impl(poses, node_mask, gauge_mask, edges, cfg, solver,
             if cfg.line_search:
                 s = _schur_solve(n, edges, blocks, gauge_mask,
                                  lam * hdiag, gm, loop_idx,
-                                 refine_level=cfg.schur_refine)
+                                 refine_level=cfg.schur_refine,
+                                 seg_cap=cfg.schur_seg)
                 cand, new_cost, lam_next = line_search_pick(p, s, lam)
             else:
                 # Legacy damping ladder: one structured solve per candidate.
@@ -792,7 +793,8 @@ def _optimize_impl(poses, node_mask, gauge_mask, edges, cfg, solver,
                 def solve_one(l):
                     s = _schur_solve(n, edges, blocks, gauge_mask,
                                      l * hdiag, gm, loop_idx,
-                                     refine_level=cfg.schur_refine)
+                                     refine_level=cfg.schur_refine,
+                                     seg_cap=cfg.schur_seg)
                     c = p + s
                     c = c.at[:, 2].set(se2.wrap_angle(c[:, 2]))
                     c = jnp.where(gauge_mask[:, None], c, p)

@@ -253,7 +253,9 @@ def test_realistic_drift_loop_closure_at_scale():
                       "oxford_10-12-32_keyframe_gt.npz")
     gt = np.load(fx)["gt"][:2016]  # >= 1000 nodes with >= 100 revisit loops
     inst = simulate.make_trajectory_pgo_instance(gt, seed=0)
-    assert inst.n_loops >= 30
+    # the slice yields 101 revisit loops; keep the assertion tight so a
+    # loop-coverage regression in find_loop_pairs is caught (ADVICE r2)
+    assert inst.n_loops >= 100
     cfg = PGOConfig()
     n = len(inst.poses)
     ncap = ((n + 31) // 32) * 32
