@@ -40,7 +40,12 @@ FIXTURE_REAL_ODOM = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "oxford_10-12-32_real_odometry.npz")
 
 
-def _slope_time(fn_chained, n_lo, n_hi):
+class UnforcedMeasurement(RuntimeError):
+    """A timing came out faster than physics allows — the chain was not
+    actually forced to execute (the r2/r3 PARITY failure mode)."""
+
+
+def _slope_time(fn_chained, n_lo, n_hi, reps=3):
     """TRUE per-iteration seconds on a lazily-executing device (r3 fix).
 
     The tunneled TPU backend used by this environment evaluates lazily:
@@ -55,7 +60,11 @@ def _slope_time(fn_chained, n_lo, n_hi):
       computation (input perturbation -> output reduction), so ONE host
       fetch of the final eps forces the whole chain to execute;
     - the slope between two chain lengths cancels the constant ~27 ms
-      tunnel round trip and any one-off dispatch cost.
+      tunnel round trip and any one-off dispatch cost;
+    - each chain length is measured ``reps`` times and the MIN taken
+      (ADVICE r3: a single noisy pair can invert the slope), and a
+      non-positive slope raises instead of silently clamping to 1e-9 s
+      (which would fabricate ~1e9 ops/s throughputs).
     """
     import jax.numpy as jnp
 
@@ -63,16 +72,58 @@ def _slope_time(fn_chained, n_lo, n_hi):
     np.asarray(eps)  # warmup/compile + sync
 
     def total(k):
-        e = jnp.float32(0)
-        t0 = time.perf_counter()
-        for _ in range(k):
-            e = fn_chained(e)
-        np.asarray(e)
-        return time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(reps):
+            e = jnp.float32(0)
+            t0 = time.perf_counter()
+            for _ in range(k):
+                e = fn_chained(e)
+            np.asarray(e)
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     t_lo = total(n_lo)
     t_hi = total(n_hi)
-    return max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)
+    slope = (t_hi - t_lo) / (n_hi - n_lo)
+    if slope <= 0:
+        raise UnforcedMeasurement(
+            f"non-positive slope ({t_lo=:.4f}s @ {n_lo}, {t_hi=:.4f}s @ "
+            f"{n_hi}): timing noise exceeds the per-iteration cost — "
+            "lengthen the chains instead of reporting a fabricated number")
+    return slope
+
+
+def _calibrate_timing(peak_flops=2.0e15):
+    """Execution-forcing guard (VERDICT r3 #1): slope-time a matmul chain of
+    KNOWN FLOPs; if the implied FLOP/s exceeds any physically possible rate
+    for one chip (default guard: 2e15, ~5x a v5e's bf16 peak), the timing
+    harness is NOT forcing execution and every subsequent number would be
+    fiction — abort the bench rather than record it.
+
+    Returns the measured matmul TFLOP/s (a useful roofline anchor).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = 1024
+    a = jnp.ones((n, n), jnp.bfloat16)
+    flops_per_iter = 2.0 * n * n * n * 4  # 4 matmuls per link
+
+    @jax.jit
+    def link(e):
+        x = a + e.astype(jnp.bfloat16)
+        for _ in range(4):
+            x = jnp.matmul(x, a)
+            x = x * 1e-3
+        return jnp.sum(x).astype(jnp.float32) * 1e-30
+
+    sec = _slope_time(link, 8, 32)
+    flops = flops_per_iter / sec
+    if flops > peak_flops:
+        raise UnforcedMeasurement(
+            f"calibration matmul implies {flops:.3e} FLOP/s > physical peak "
+            f"{peak_flops:.1e} — the timing chain is not forcing execution")
+    return flops / 1e12
 
 
 def _enable_compile_cache():
@@ -153,6 +204,26 @@ def main():
         batch = args.batch
         pgo_nodes = None  # reference keyframe count (the Oxford GT fixture)
 
+    # ---- stage 0: timing calibration -------------------------------------
+    # Every timed metric below is gated on this: if the known-FLOP matmul
+    # chain times out faster than hardware allows, the harness is not forcing
+    # execution and NO timed number may be recorded (VERDICT r3 #1).
+    timing_ok = {"ok": False}
+
+    def stage_calibrate():
+        tflops = _calibrate_timing()
+        extra["calibration_matmul_tflops"] = round(tflops, 2)
+        timing_ok["ok"] = True
+
+    run_stage("calibrate", stage_calibrate)
+
+    def _checked_slope_time(fn, lo, hi, **kw):
+        if not timing_ok["ok"]:
+            raise UnforcedMeasurement(
+                "timing calibration failed — refusing to record a timed "
+                "metric from an unforced harness")
+        return _slope_time(fn, lo, hi, **kw)
+
     rng = np.random.default_rng(0)
     world = simulate.make_world(rng, num_walls=80,
                                 extent=60.0 if args.small else 120.0)
@@ -172,10 +243,14 @@ def main():
     state = {}
 
     def _tree_reduce(*trees):
+        # nan_to_num + clip (ADVICE r3): a masked sentinel/inf leaf must not
+        # poison eps and perturb subsequent chained iterations' inputs.
         acc = jnp.float32(0)
         for t in trees:
             for leaf in jax.tree.leaves(t):
-                acc = acc + jnp.sum(jnp.asarray(leaf, jnp.float32))
+                v = jnp.nan_to_num(jnp.asarray(leaf, jnp.float32),
+                                   posinf=1e6, neginf=-1e6)
+                acc = acc + jnp.sum(jnp.clip(v, -1e6, 1e6))
         return acc * 1e-30
 
     def stage_odometry():
@@ -190,7 +265,7 @@ def main():
             st2, out = odometry.odometry_step(st, image, cfg)
             return _tree_reduce(out, st2)
 
-        odom_ms = _slope_time(odo_chained, 4, 16) * 1e3
+        odom_ms = _checked_slope_time(odo_chained, 4, 16) * 1e3
         extra["odometry_step_ms"] = round(odom_ms, 2)
         extra["odometry_vs_realtime"] = round(BASE_ODOM_MS / odom_ms, 2)
         state["ostate"], state["image"] = ostate, image
@@ -209,7 +284,7 @@ def main():
             st2, out = odometry.batched_odometry_step(st, bimage, cfg)
             return _tree_reduce(out, st2)
 
-        bodom_ms = _slope_time(chained, 4, 12) * 1e3
+        bodom_ms = _checked_slope_time(chained, 4, 12) * 1e3
         extra["odometry_frames_per_s_batched"] = round(
             b_seq / (bodom_ms / 1e3), 1)
         extra["odometry_batch"] = b_seq
@@ -252,7 +327,7 @@ def main():
                     align_model, loop_model, cfg)
                 return _tree_reduce(res)
 
-            wave_s = _slope_time(cand_wave, 3, 9)
+            wave_s = _checked_slope_time(cand_wave, 3, 9)
             cands_per_s = b / wave_s
             sweep[str(b)] = round(cands_per_s, 2)
             if cands_per_s > best[0]:
@@ -334,7 +409,7 @@ def main():
         extra["pgo_solver"] = solver
         extra["pgo_n_loops"] = int(inst.n_loops)
         flush_partial()
-        pgo_ms = _slope_time(solve_chained, 2, 6) * 1e3
+        pgo_ms = _checked_slope_time(solve_chained, 2, 6) * 1e3
         extra[f"pgo_{n}node_ms"] = round(pgo_ms, 2)
         extra["pgo_vs_baseline"] = round(BASE_PGO_MS / pgo_ms, 2)
         extra["pgo_ms_per_iteration"] = round(

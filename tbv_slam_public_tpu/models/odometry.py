@@ -190,6 +190,27 @@ def odometry_step(state: OdometryState, image: jnp.ndarray, cfg: TBVConfig):
     return state, out
 
 
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def odometry_scan(state: OdometryState, images: jnp.ndarray,
+                  cfg: TBVConfig):
+    """K odometry frames as ONE device program (lax.scan over the frame
+    step).
+
+    The per-frame host loop costs a device round trip per frame — ruinous
+    through a tunneled TPU (~27 ms each vs a 21 ms step).  Scanning a chunk
+    keeps the sequential frame dependency on device and reduces host traffic
+    to one image upload + two fetches per chunk (scalars for every frame;
+    payload gather for the fused ones).  State is donated: it lives on
+    device across chunks.
+    """
+
+    def step(st, img):
+        st, out = odometry_step(st, img, cfg)
+        return st, out
+
+    return jax.lax.scan(step, state, images)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def batched_first_frame(states, images, cfg: TBVConfig):
     """Vmapped frame 0 over a batch of sequences."""
@@ -249,18 +270,26 @@ class OdometryPipeline:
         # calls were the e2e pipeline's dominant cost, not compute)
         pose_h, cov_h, fused_h, constraint_h = jax.device_get(
             (out.pose, out.cov, out.fused, out.constraint))
+        self._record_frame(pose_h, cov_h, bool(fused_h), constraint_h, stamp,
+                           gt_pose,
+                           lambda: jax.device_get(
+                               (out.cells, out.peaks, out.cloud)))
+        return out
+
+    def _record_frame(self, pose_h, cov_h, fused: bool, constraint_h, stamp,
+                      gt_pose, fetch_payload) -> None:
+        """Shared per-frame bookkeeping; ``fetch_payload()`` returns
+        (cells, peaks, cloud) as host trees and is only called on fuse."""
         self.frame_poses.append(pose_h)
         self.frame_stamps.append(stamp)
         self.frame_covs.append(cov_h)
-        if bool(fused_h):
+        if fused:
             kf_idx = len(self.kf_poses)
             self.kf_poses.append(pose_h)
             self.kf_stamps.append(stamp)
             if gt_pose is not None:
                 self.kf_gt.append(np.asarray(gt_pose, np.float32))
-            # second (and last) fetch: the keyframe payload trees together
-            cells_h, peaks_h, cloud_h = jax.device_get(
-                (out.cells, out.peaks, out.cloud))
+            cells_h, peaks_h, cloud_h = fetch_payload()
             self.kf_cells.append(cells_h)
             self.kf_peaks.append(peaks_h)
             self.kf_clouds.append(cloud_h)
@@ -272,4 +301,48 @@ class OdometryPipeline:
                     cov=cov_h,
                 ))
             self._last_kf_idx = kf_idx
-        return out
+
+    def process_chunk(self, images: np.ndarray, stamps=None,
+                      gt_poses=None) -> int:
+        """Run a CHUNK of frames as one device program (odometry_scan).
+
+        Per-chunk host traffic: one [K, A, R] image upload, one scalar fetch
+        for all K frames, one gathered payload fetch for the fused frames —
+        instead of 2-3 round trips per frame.  Returns the number of
+        keyframes fused.  Frame 0 (window seeding) runs via ``process``.
+        """
+        images = np.asarray(images)
+        k = images.shape[0]
+        if k == 0:
+            return 0
+        stamps = [0.0] * k if stamps is None else list(stamps)
+        gts = [None] * k if gt_poses is None else list(gt_poses)
+        start = 0
+        n_kf0 = len(self.kf_poses)
+        if int(self.state.frame_idx) == 0:
+            self.process(images[0], stamps[0], gt_pose=gts[0])
+            start = 1
+            if k == 1:
+                return len(self.kf_poses) - n_kf0
+        with timing.timer("odometry_scan_chunk"):
+            self.state, outs = odometry_scan(
+                self.state, jnp.asarray(images[start:]), self.cfg)
+            # fetch 1: tiny per-frame scalars for the whole chunk
+            poses_h, covs_h, fused_h, constraints_h = jax.device_get(
+                (outs.pose, outs.cov, outs.fused, outs.constraint))
+            fused_idx = np.nonzero(fused_h)[0]
+            payload_h = None
+            if fused_idx.size:
+                # fetch 2: keyframe payloads, gathered ON DEVICE first so
+                # only fused frames cross the tunnel
+                idx = jnp.asarray(fused_idx)
+                payload_h = jax.device_get(jax.tree.map(
+                    lambda x: x[idx], (outs.cells, outs.peaks, outs.cloud)))
+        pay_pos = {int(f): j for j, f in enumerate(fused_idx)}
+        for i in range(k - start):
+            take = (lambda j: lambda: jax.tree.map(
+                lambda x: x[j], payload_h))(pay_pos.get(i))
+            self._record_frame(
+                poses_h[i], covs_h[i], bool(fused_h[i]), constraints_h[i],
+                stamps[start + i], gts[start + i], take)
+        return len(self.kf_poses) - n_kf0

@@ -324,6 +324,51 @@ class TBVSLAM:
                 self.pgo_epochs += 1
         return out
 
+    def process_frames_chunked(self, images, stamps=None, gt_poses=None,
+                               chunk: int = 16,
+                               search_loops: bool = False) -> int:
+        """Feed a whole sequence in device-scanned chunks
+        (OdometryPipeline.process_chunk): ~2 host round trips per ``chunk``
+        frames instead of 2-3 per frame.  Keyframe/graph bookkeeping is
+        identical to per-frame ``process_frame``; loop search (if requested)
+        runs between chunks.  Returns the total keyframe count.
+        """
+        n = len(images)
+        stamps = [0.0] * n if stamps is None else list(stamps)
+        gts = [None] * n if gt_poses is None else list(gt_poses)
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            kf_before = len(self._kf_to_node)
+            self._frames += hi - lo
+            self.odometry.process_chunk(images[lo:hi], stamps[lo:hi],
+                                        gts[lo:hi])
+            self._sync_new_keyframes(kf_before)
+            if search_loops:
+                for lc in self.loops.process_pending():
+                    self.graph.add_loop_constraint(lc)
+        return len(self._kf_to_node)
+
+    def _sync_new_keyframes(self, kf_before: int) -> None:
+        """Graph + loop-closer bookkeeping for keyframes fused since
+        ``kf_before`` (the chunked-path twin of process_frame's fuse block)."""
+        od = self.odometry
+        by_end = {c["id_end"]: c for c in od.kf_constraints
+                  if c["id_end"] >= kf_before}
+        for kf_idx in range(kf_before, len(od.kf_poses)):
+            pose = od.kf_poses[kf_idx]
+            gt = od.kf_gt[kf_idx] if len(od.kf_gt) > kf_idx else None
+            node = self.graph.add_node(pose, od.kf_stamps[kf_idx], gt=gt)
+            self._kf_to_node.append(node)
+            c = by_end.get(kf_idx)
+            if c is not None:
+                self.graph.add_odometry_constraint(
+                    c["id_begin"], c["id_end"], c["t_be"], cov=c.get("cov"))
+            self.loops.add_keyframe(od.kf_peaks[kf_idx], od.kf_cells[kf_idx],
+                                    pose)
+            if self.alignment_learner is not None:
+                self.alignment_learner.add_training_pair(
+                    od.kf_peaks[kf_idx], od.kf_cells[kf_idx], pose)
+
     def finish(self, optimize: bool = True,
                solver: str = "cholesky") -> SLAMSummary:
         """Drain pending loop closures, run the final optimization and the

@@ -511,7 +511,8 @@ def _quad_fit_pinv(xy_range: float, yaw_range: float, steps: int) -> tuple:
             np.asarray(offs, np.float32))
 
 
-@partial(jax.jit, static_argnames=("cfg", "xy_range", "yaw_range", "steps"))
+@partial(jax.jit, static_argnames=("cfg", "xy_range", "yaw_range", "steps",
+                                   "reassociate"))
 def sampled_covariance(
     src: Cells,
     theta_opt: jnp.ndarray,  # [3] optimized pose
@@ -525,6 +526,7 @@ def sampled_covariance(
     yaw_range: float = 0.0043625,
     steps: int = 3,
     cov_scaler: float = 4.0,
+    reassociate: bool = False,
 ):
     """Grid-sampled covariance (C7): evaluate the registration cost on a
     steps^3 grid around the optimum, fit a quadratic by least squares, and
@@ -534,14 +536,42 @@ def sampled_covariance(
     All 27 cost evaluations run as ONE vmapped batch.  Returns (cov [3, 3],
     success) — success is False when the quadratic is not convex, matching
     the reference's rejection (odometrykeyframefuser.cpp:350-364).
+
+    ``reassociate=False`` (default) associates ONCE at the optimum and
+    evaluates all grid costs on that fixed correspondence set — the sample
+    offsets (±0.2 m, ±0.0022 rad) are tiny against the 2 m association
+    radius, so the correspondences are identical in practice, and the
+    [S, C, C] distance-matrix blowup of per-sample association (the r3
+    wave's dominant HBM traffic) disappears.  ``reassociate=True`` restores
+    the literal per-sample GetCost pass (n_scan_normal.cpp:186-211).
     """
     pinv, offs = _quad_fit_pinv(xy_range, yaw_range, steps)
     pinv = jnp.asarray(pinv)
     poses = theta_opt[None, :] + jnp.asarray(offs)  # [S, 3]
 
-    def one(p):
-        c, _ = evaluate_cost(src, p, tgt, tgt_poses, tgt_scan_mask, cfg)
-        return c
+    if reassociate:
+        def one(p):
+            c, _ = evaluate_cost(src, p, tgt, tgt_poses, tgt_scan_mask, cfg)
+            return c
+    else:
+        cost = cost_code(cfg.cost)
+        loss = loss_code(cfg.loss)
+        angle_gate_cos = math.cos(math.radians(cfg.angle_gate_deg))
+        tmw = jax.vmap(se2.apply)(tgt_poses, tgt.mean)
+        tnw = jax.vmap(se2.rotate)(tgt_poses, tgt.normal)
+        rot = se2.rotmat(tgt_poses[:, 2])
+        tcw = jnp.einsum("tab,tcbd,ted->tcae", rot, tgt.cov, rot)
+        tvalid = tgt.valid & tgt_scan_mask[:, None]
+        assoc = associate(
+            src, theta_opt, tmw, tnw, tcw, tgt.nsamples, tgt.planarity,
+            tvalid, cfg.radius,
+            weight_option=cfg.weight_option, cost=cost,
+            regularization=cfg.regularization, cov_scale=cfg.cov_scale,
+            angle_gate_cos=angle_gate_cos)
+
+        def one(p):
+            return _cost_only(p, src, assoc, cost=cost, loss=loss,
+                              delta=cfg.loss_limit)
 
     costs = jax.vmap(one)(poses)  # [S]
     q = pinv @ costs  # [10]

@@ -117,3 +117,33 @@ def test_batched_odometry_matches_single(seq):
 
     for b in range(2):
         np.testing.assert_allclose(bposes[b], singles[b], atol=1e-4)
+
+
+def test_chunked_odometry_matches_per_frame(seq):
+    """process_chunk (lax.scan device chunks) must produce the same frame
+    poses, keyframes and constraints as the per-frame host loop."""
+    cfg = small_config()
+    ref = OdometryPipeline(cfg)
+    for i in range(seq.images.shape[0]):
+        ref.process(seq.images[i], stamp=i * 0.25)
+
+    chk = OdometryPipeline(cfg)
+    n = seq.images.shape[0]
+    for lo in range(0, n, 7):  # deliberately awkward chunk size
+        hi = min(lo + 7, n)
+        chk.process_chunk(seq.images[lo:hi],
+                          stamps=[i * 0.25 for i in range(lo, hi)])
+
+    np.testing.assert_allclose(np.asarray(chk.frame_poses),
+                               np.asarray(ref.frame_poses), atol=1e-5)
+    assert len(chk.kf_poses) == len(ref.kf_poses)
+    np.testing.assert_allclose(np.asarray(chk.kf_poses),
+                               np.asarray(ref.kf_poses), atol=1e-5)
+    assert len(chk.kf_constraints) == len(ref.kf_constraints)
+    for a, b in zip(chk.kf_constraints, ref.kf_constraints):
+        assert a["id_begin"] == b["id_begin"] and a["id_end"] == b["id_end"]
+        np.testing.assert_allclose(a["t_be"], b["t_be"], atol=1e-5)
+    # keyframe payloads identical too (cells feed loop closure)
+    np.testing.assert_allclose(
+        np.asarray(chk.kf_cells[-1].mean), np.asarray(ref.kf_cells[-1].mean),
+        atol=1e-5)

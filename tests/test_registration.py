@@ -259,3 +259,43 @@ def test_ceres_covariance_output():
     np.testing.assert_allclose(c, c.T, atol=1e-8)
     assert np.all(np.linalg.eigvalsh(c) > 0)
     assert np.all(np.diag(c) < 1.0)  # well-constrained scene
+
+
+def test_sampled_covariance_shared_association_matches_reassociated(rng):
+    """The default fixed-correspondence grid sampling must agree with the
+    literal per-sample re-association (the sample offsets are tiny against
+    the association radius, so the correspondence sets coincide)."""
+    import jax
+    import jax.numpy as jnp
+    from tbv_slam_public_tpu.core.config import (FeatureConfig, RadarConfig,
+                                                 RegistrationConfig, TBVConfig)
+    from tbv_slam_public_tpu.io import simulate
+    from tbv_slam_public_tpu.ops import features, radar, registration
+
+    cfg = TBVConfig(
+        radar=RadarConfig(num_azimuths=100, num_range_bins=200, range_res=0.4,
+                          k_strongest=8, min_distance=1.0, max_distance=70.0),
+        features=FeatureConfig(cell_capacity=256, grid_extent=70.0),
+        registration=RegistrationConfig(cost="P2L", weight_option=4))
+    world = simulate.make_world(rng, num_walls=50, extent=40.0)
+
+    def scan(pose):
+        img = simulate.render_scan(world, pose, num_azimuths=100,
+                                   num_range_bins=200, range_res=0.4, rng=rng)
+        cloud, _ = radar.kstrongest_filter(jnp.asarray(img), cfg.radar)
+        return features.compute_cells(cloud, cfg.features)
+
+    tgt_cells = scan(np.zeros(3))
+    src_cells = scan(np.array([0.8, 0.2, 0.03]))
+    tgt = jax.tree.map(lambda x: x[None], tgt_cells)
+    res = registration.register_window(
+        src_cells, jnp.zeros(3), tgt, jnp.zeros((1, 3)), jnp.ones(1, bool),
+        cfg.registration)
+    args = (src_cells, res.pose, tgt, jnp.zeros((1, 3)), jnp.ones(1, bool),
+            cfg.registration, res.score, res.num_residuals)
+    cov_fast, ok_fast = registration.sampled_covariance(*args)
+    cov_ref, ok_ref = registration.sampled_covariance(*args,
+                                                      reassociate=True)
+    assert bool(ok_fast) == bool(ok_ref)
+    np.testing.assert_allclose(np.asarray(cov_fast), np.asarray(cov_ref),
+                               rtol=0.25, atol=1e-4)
