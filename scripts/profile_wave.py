@@ -82,10 +82,16 @@ def main():
                                        cfg.verification.alignment_coefs[1:])
     loop_model = logistic.from_values(cfg.verification.loop_coefs[0],
                                       cfg.verification.loop_coefs[1:])
+    import sys as _sys
+    n_src = min(b, 8)
     cands = [scan_at([2.0 * (i % 5), 1.5 * (i % 3), 0.1 * i])
-             for i in range(b)]
-    c_peaks = jax.tree.map(lambda *x: jnp.stack(x), *[c[1] for c in cands])
-    c_cells = jax.tree.map(lambda *x: jnp.stack(x), *[c[2] for c in cands])
+             for i in range(n_src)]
+    print(f"[profile] {n_src} scans rendered; tiling to {b}", file=_sys.stderr, flush=True)
+    reps = (b + n_src - 1) // n_src
+    c_peaks = jax.tree.map(lambda *x: jnp.concatenate([jnp.stack(x)] * reps)[:b],
+                           *[c[1] for c in cands])
+    c_cells = jax.tree.map(lambda *x: jnp.concatenate([jnp.stack(x)] * reps)[:b],
+                           *[c[2] for c in cands])
     zeros = jnp.zeros((b,))
     loop_rcfg = lc._loop_registration_cfg(cfg)
 
@@ -98,8 +104,9 @@ def main():
             align_model, loop_model, cfg)
         return tree_reduce(res)
 
+    print("[profile] compiling full_wave...", file=_sys.stderr, flush=True)
     t = slope_time(full_wave, 3, 9)
-    print(f"full_wave      b={b}: {t*1e3:8.2f} ms  -> {b/t:9.1f} cands/s")
+    print(f"full_wave      b={b}: {t*1e3:8.2f} ms  -> {b/t:9.1f} cands/s", flush=True)
 
     # registration only
     @jax.jit
@@ -113,8 +120,9 @@ def main():
         p, s = jax.vmap(one)(c_cells, jnp.zeros((b, 3)) + eps)
         return tree_reduce(p, s)
 
+    print("[profile] compiling reg_only...", file=_sys.stderr, flush=True)
     t = slope_time(reg_only, 3, 9)
-    print(f"register_only  b={b}: {t*1e3:8.2f} ms  -> {b/t:9.1f} cands/s")
+    print(f"register_only  b={b}: {t*1e3:8.2f} ms  -> {b/t:9.1f} cands/s", flush=True)
 
     # sampled covariance only
     @jax.jit
@@ -128,8 +136,9 @@ def main():
         c, o = jax.vmap(one)(c_cells, jnp.zeros((b, 3)) + eps)
         return tree_reduce(c, o)
 
+    print("[profile] compiling cov_only...", file=_sys.stderr, flush=True)
     t = slope_time(cov_only, 3, 9)
-    print(f"sampled_cov    b={b}: {t*1e3:8.2f} ms  -> {b/t:9.1f} cands/s")
+    print(f"sampled_cov    b={b}: {t*1e3:8.2f} ms  -> {b/t:9.1f} cands/s", flush=True)
 
     # alignment features (CorAl + CFEAR eval)
     @jax.jit
@@ -141,8 +150,9 @@ def main():
         x = jax.vmap(one)(c_peaks, c_cells, jnp.zeros((b, 3)) + eps)
         return tree_reduce(x)
 
+    print("[profile] compiling align_only...", file=_sys.stderr, flush=True)
     t = slope_time(align_only, 3, 9)
-    print(f"align_feats    b={b}: {t*1e3:8.2f} ms  -> {b/t:9.1f} cands/s")
+    print(f"align_feats    b={b}: {t*1e3:8.2f} ms  -> {b/t:9.1f} cands/s", flush=True)
 
 
 if __name__ == "__main__":

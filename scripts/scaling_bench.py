@@ -108,6 +108,65 @@ def measure(n_devices: int, per_device: int, iters: int) -> None:
                       "cands_per_s": round(m / dt, 3)}))
 
 
+def measure_pgo(n_devices: int, iters: int) -> None:
+    """Strong-scaling measurement of the distributed PGO (parallel.pgo
+    optimize_distributed) on the REAL 4470-node Oxford 10-12-32 odometry
+    instance (the same instance bench.py stage 3 solves single-chip).
+    Fixed problem, edge shards over N devices; prints per-solve ms."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    os.environ["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={n_devices}"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tbv_slam_public_tpu.core.config import PGOConfig
+    from tbv_slam_public_tpu.io import simulate
+    from tbv_slam_public_tpu.ops import posegraph
+    from tbv_slam_public_tpu.parallel import pgo as par_pgo
+
+    assert len(jax.devices()) == n_devices, jax.devices()
+    fixture = os.path.join(REPO, "tests", "fixtures",
+                           "oxford_10-12-32_real_odometry.npz")
+    z = np.load(fixture)
+    inst = simulate.make_real_odometry_pgo_instance(z["odom"], z["gt"],
+                                                    seed=0)
+    n = len(inst.poses)
+    ncap = ((n + 31) // 32) * 32
+    poses = np.zeros((ncap, 3), np.float32)
+    poses[:n] = inst.poses
+    nmask = np.zeros((ncap,), bool)
+    nmask[:n] = True
+    cfg = PGOConfig(max_iterations=16)  # fixed fori_loop work: comparable 1-vs-N
+    sqrt_info = np.asarray(posegraph.default_sqrt_info(
+        jnp.asarray(inst.etype), cfg))
+    edges = posegraph.make_edges(inst.idx, inst.meas, sqrt_info, inst.etype,
+                                 inst.mask)
+    assert inst.mask.shape[0] % n_devices == 0
+    mesh = par_pgo.make_mesh()
+    jposes, jnmask = jnp.asarray(poses), jnp.asarray(nmask)
+
+    def solve():
+        return par_pgo.optimize_distributed(mesh, jposes, jnmask, edges, cfg)
+
+    res = solve()
+    jax.block_until_ready(res.poses)  # compile+run
+    from tbv_slam_public_tpu.eval.trajectory import ate_rmse
+    ate = ate_rmse(np.asarray(res.poses)[:n], inst.gt)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = solve()
+    jax.block_until_ready(res.poses)
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({"devices": n_devices, "nodes": n,
+                      "pgo_ms": round(dt * 1e3, 2),
+                      "ate_after": round(float(ate), 3)}))
+
+
 def orchestrate(per_device: int, iters: int, n_target: int) -> None:
     ncores = os.cpu_count() or 1
     n = max(2, min(n_target, ncores))
@@ -137,7 +196,7 @@ def orchestrate(per_device: int, iters: int, n_target: int) -> None:
     base = run_pinned(1, "0")
     multi = run_pinned(n, ",".join(str(c % ncores) for c in range(n)))
     eff = multi["cands_per_s"] / (n * base["cands_per_s"])
-    print(json.dumps({
+    out = {
         "devices": n,
         "cores": ncores,
         "per_device_batch": per_device,
@@ -145,7 +204,36 @@ def orchestrate(per_device: int, iters: int, n_target: int) -> None:
         "cands_per_s_1dev": base["cands_per_s"],
         f"cands_per_s_{n}dev": multi["cands_per_s"],
         "scaling_efficiency": round(eff, 3),
-    }))
+    }
+
+    # distributed-PGO strong scaling on the 4470-node real-odometry
+    # instance (VERDICT r3 #6): same fixed problem, edge shards 1 vs N.
+    def run_pgo_pinned(n_dev: int, cores: str) -> dict:
+        cmd = ["taskset", "-c", cores, sys.executable, me,
+               "--measure-pgo", str(n_dev), "--iters", "3"]
+        try:
+            o = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=1800, check=True).stdout
+        except (FileNotFoundError, subprocess.CalledProcessError):
+            cmd = [sys.executable, me, "--measure-pgo", str(n_dev),
+                   "--iters", "3"]
+            o = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=1800, check=True).stdout
+        return json.loads(o.strip().splitlines()[-1])
+
+    try:
+        pgo1 = run_pgo_pinned(1, "0")
+        pgoN = run_pgo_pinned(n, ",".join(str(c % ncores) for c in range(n)))
+        out["pgo_nodes"] = pgo1["nodes"]
+        out["pgo_ms_1dev"] = pgo1["pgo_ms"]
+        out[f"pgo_ms_{n}dev"] = pgoN["pgo_ms"]
+        out["pgo_ate_after"] = pgoN["ate_after"]
+        # strong scaling: efficiency = t1 / (N * tN)
+        out["pgo_scaling_efficiency"] = round(
+            pgo1["pgo_ms"] / (n * pgoN["pgo_ms"]), 3)
+    except Exception as ex:  # fixture missing etc. — keep the wave numbers
+        out["pgo_scaling_error"] = repr(ex)
+    print(json.dumps(out))
 
 
 def main():
@@ -156,9 +244,13 @@ def main():
                     help="target mesh size (capped at the core count)")
     ap.add_argument("--measure", type=int, default=0,
                     help="internal: run one pinned measurement at N devices")
+    ap.add_argument("--measure-pgo", type=int, default=0,
+                    help="internal: distributed-PGO measurement at N devices")
     args = ap.parse_args()
     if args.measure:
         measure(args.measure, args.per_device, args.iters)
+    elif args.measure_pgo:
+        measure_pgo(args.measure_pgo, args.iters)
     else:
         orchestrate(args.per_device, args.iters, args.devices)
 

@@ -117,15 +117,21 @@ class DetectResult(struct.PyTreeNode):
     valid: jnp.ndarray  # [K] bool
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
 def detect(db: LoopDB, descs: jnp.ndarray, rings: jnp.ndarray,
-           cur_slot: jnp.ndarray, cfg: TBVConfig) -> DetectResult:
+           cur_slot: jnp.ndarray, cfg: TBVConfig,
+           mesh=None) -> DetectResult:
     """Candidate retrieval for the keyframe at ``cur_slot``.
 
     detectLoopClosureID (RadarScancontext.cpp:286-345): odometry similarity
     over history, dynamic recent-exclusion window, per-augmentation ring-key
     NN retrieval + SC distance, merged and deduplicated, best
     ``n_candidates`` kept by combined score.
+
+    ``mesh``: optional jax.sharding.Mesh — the descriptor database's
+    keyframe axis shards across it and retrieval becomes local top-k +
+    gathered merge (parallel.retrieval.sharded_retrieve, SURVEY §5.7),
+    bit-equal to the single-device path.
     """
     sc = cfg.scancontext
     n = db.mask.shape[0]
@@ -139,6 +145,15 @@ def detect(db: LoopDB, descs: jnp.ndarray, rings: jnp.ndarray,
     search_mask = hist_mask & (idxs < cur_slot - n_excl + 1) & (idxs < cur_slot)
 
     def one_aug(qdesc, qkey):
+        if mesh is not None and mesh.devices.size > 1:
+            from ..parallel import retrieval as par_ret
+
+            return par_ret.sharded_retrieve(
+                mesh, qdesc, qkey, db.desc, db.ring, search_mask, odom_sim,
+                num_candidates=sc.num_candidates_from_tree,
+                search_ratio=sc.search_ratio,
+                odometry_coupled=sc.odometry_coupled_closure,
+            )
         return scancontext.retrieve(
             qdesc, qkey, db.desc, db.ring, search_mask, odom_sim,
             num_candidates=sc.num_candidates_from_tree,
@@ -178,6 +193,73 @@ def detect(db: LoopDB, descs: jnp.ndarray, rings: jnp.ndarray,
         yaw=scancontext.shift_to_yaw(flat.shift[pick], sc.num_sector),
         valid=valid,
     )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def build_contexts_batched(store_peaks: PointCloud, store_odom: jnp.ndarray,
+                           q_idx: jnp.ndarray, n_total: jnp.ndarray,
+                           cfg: TBVConfig):
+    """Local-map aggregation + descriptor building for a BATCH of keyframes,
+    entirely on device (the host _aggregate_local_map + per-keyframe
+    context_descriptors loop cost one device round trip per keyframe —
+    ~27 ms each through a tunneled TPU).
+
+    For each query q: gather the ±n_aggregate window from the stacked
+    keyframe store, express every peak in q's frame (ScansToLocalMap,
+    loopclosure.cpp:553-569), keep the strongest ``local_map_capacity``
+    points, and bin the descriptor + augmentations.
+
+    Returns (descs [B, A, R, S], rings [B, A, R]).
+    """
+    n_agg = cfg.loopclosure.n_aggregate
+    cap = cfg.loopclosure.local_map_capacity
+
+    def one(q):
+        idxs = q + jnp.arange(-n_agg, n_agg + 1)
+        kf_ok = (idxs >= 0) & (idxs < n_total)
+        idxs = jnp.clip(idxs, 0, n_total - 1)
+        center = store_odom[q]
+
+        def gather_kf(i, ok):
+            xy = store_peaks.xy[i]
+            rel = se2.relative(center, store_odom[i])
+            return (se2.apply(rel, xy), store_peaks.intensity[i],
+                    store_peaks.mask[i] & ok)
+
+        xys, ints, ms = jax.vmap(gather_kf)(idxs, kf_ok)
+        xy = xys.reshape(-1, 2)
+        inten = ints.reshape(-1)
+        mask = ms.reshape(-1)
+        score = jnp.where(mask, inten, -1.0)
+        _, top = jax.lax.top_k(score, cap)
+        local = PointCloud(xy=xy[top], intensity=inten[top],
+                           mask=mask[top] & (score[top] >= 0.0))
+        descs, rings, _ = context_descriptors(local, cfg)
+        return descs, rings
+
+    return jax.vmap(one)(q_idx)
+
+
+@jax.jit
+def db_insert_batch(db: LoopDB, slots: jnp.ndarray, descs: jnp.ndarray,
+                    rings: jnp.ndarray, odom: jnp.ndarray) -> LoopDB:
+    """Scatter a batch of keyframe descriptors into the DB in one program."""
+    return LoopDB(
+        desc=db.desc.at[slots].set(descs),
+        ring=db.ring.at[slots].set(rings),
+        odom_pose=db.odom_pose.at[slots].set(odom),
+        mask=db.mask.at[slots].set(True),
+    )
+
+
+@jax.jit
+def gather_pair_trees(store_cells: Cells, store_peaks: PointCloud,
+                      q_idx: jnp.ndarray, c_idx: jnp.ndarray):
+    """Device-side gather of (query, candidate) payloads for a pair wave —
+    replaces per-pair host stacking/upload of keyframe trees."""
+    g = lambda tree, idx: jax.tree.map(lambda x: x[idx], tree)
+    return (g(store_cells, q_idx), g(store_peaks, q_idx),
+            g(store_cells, c_idx), g(store_peaks, c_idx))
 
 
 class CandidateResult(struct.PyTreeNode):
@@ -443,12 +525,35 @@ class LoopCloser:
                           intensity=jnp.asarray(inten, jnp.float32),
                           mask=jnp.asarray(mask))
 
+    def _device_store(self):
+        """Stacked device arrays of every keyframe's cells/peaks/odometry
+        ([N, ...] per leaf) — the gather source for batched context building
+        and pair waves.  Rebuilt (one upload) when keyframes were added."""
+        n = len(self.kf_odom)
+        if getattr(self, "_store_n", 0) != n:
+            stack = lambda trees: jax.tree.map(
+                lambda *x: jnp.asarray(np.stack([np.asarray(v) for v in x])),
+                *trees)
+            self._store_cells = stack(self.kf_cells)
+            self._store_peaks = stack(self.kf_peaks)
+            self._store_odom = jnp.asarray(np.stack(self.kf_odom))
+            self._store_n = n
+        return self._store_cells, self._store_peaks, self._store_odom
+
     def _ensure_capacity(self, n: int) -> None:
         cap = self.db.mask.shape[0]
         if n > cap:
             chunk = self.cfg.scancontext.db_chunk
+            if self.mesh is not None:
+                # sharded retrieval needs capacity % mesh size == 0
+                chunk = ((chunk + self.mesh.devices.size - 1)
+                         // self.mesh.devices.size) * self.mesh.devices.size
             new_cap = ((n + chunk - 1) // chunk) * chunk
             self.db = grow_db(self.db, new_cap)
+            if self.mesh is not None and self.mesh.devices.size > 1:
+                from ..parallel import retrieval as par_ret
+
+                self.db = par_ret.shard_db(self.mesh, self.db)
 
     # -- per-keyframe processing ------------------------------------------
     def process_pending(self) -> List[LoopConstraint]:
@@ -498,90 +603,108 @@ class LoopCloser:
         self._ensure_capacity(n)
 
         start = self._processed
-        descs_np, rings_np, taug_np = [], [], []
-        for q in range(start, n):
-            local_map = self._aggregate_local_map(q)
-            descs, rings, taug = context_descriptors(local_map, cfg)
-            self.db = db_insert(self.db, jnp.asarray(q), descs[0], rings[0],
-                                jnp.asarray(self.kf_odom[q]))
-            descs_np.append(np.asarray(descs))
-            rings_np.append(np.asarray(rings))
-            taug_np.append(np.asarray(taug))
+        total = n - start
+        # 1) stacked device keyframe store + batched context building:
+        #    aggregation, descriptors and DB insertion are chunked device
+        #    programs (one dispatch per chunk, no per-keyframe round trips).
+        with timing.timer("loop_wave_store"):
+            store_cells, store_peaks, store_odom = self._device_store()
+        taug_const = np.zeros((1 + (len(cfg.scancontext.augment_offsets)
+                                    if cfg.scancontext.augment_sc else 0), 3),
+                              np.float32)
+        taug_const[1:, 1] = cfg.scancontext.augment_offsets \
+            if cfg.scancontext.augment_sc else []
+        descs_dev, rings_dev = [], []
+        n_total = jnp.asarray(n, jnp.int32)
+        with timing.timer("loop_wave_context"):
+            for lo in range(0, total, detect_chunk):
+                hi = min(lo + detect_chunk, total)
+                pad = detect_chunk - (hi - lo) if total > detect_chunk else 0
+                q = jnp.concatenate([
+                    jnp.arange(start + lo, start + hi),
+                    jnp.full((pad,), start + hi - 1, jnp.int32)])
+                d, r = build_contexts_batched(store_peaks, store_odom, q,
+                                              n_total, cfg)
+                descs_dev.append(d)
+                rings_dev.append(r)
+            all_q = jnp.arange(start, n)
+            d0 = jnp.concatenate([d[:, 0] for d in descs_dev])[:total]
+            r0 = jnp.concatenate([r[:, 0] for r in rings_dev])[:total]
+            self.db = db_insert_batch(self.db, all_q, d0, r0,
+                                      store_odom[all_q])
 
         # 2) batched detection over query waves
         if getattr(self, "_detect_v", None) is None:
+            det_mesh = self.mesh if (self.mesh is not None
+                                     and self.mesh.devices.size > 1) else None
             self._detect_v = jax.jit(jax.vmap(
-                lambda db, d, r, s: detect(db, d, r, s, cfg),
+                lambda db, d, r, s: detect(db, d, r, s, cfg, mesh=det_mesh),
                 in_axes=(None, 0, 0, 0)))
         detect_v = self._detect_v
         dets = []
-        total = n - start
-        for lo in range(0, total, detect_chunk):
-            hi = min(lo + detect_chunk, total)
-            m = hi - lo
-            pad = detect_chunk - m if total > detect_chunk else 0
-            take = lambda arrs: np.stack(arrs[lo:hi] + [arrs[hi - 1]] * pad)
-            d = detect_v(self.db,
-                         jnp.asarray(take(descs_np)),
-                         jnp.asarray(take(rings_np)),
-                         jnp.concatenate([
-                             jnp.arange(start + lo, start + hi),
-                             jnp.full((pad,), start + hi - 1, jnp.int32)]))
-            d = jax.tree.map(lambda x: np.asarray(x)[:m], d)
-            dets.append(d)
+        with timing.timer("loop_wave_detect"):
+            for ci, lo in enumerate(range(0, total, detect_chunk)):
+                hi = min(lo + detect_chunk, total)
+                m = hi - lo
+                pad = detect_chunk - m if total > detect_chunk else 0
+                d = detect_v(self.db, descs_dev[ci], rings_dev[ci],
+                             jnp.concatenate([
+                                 jnp.arange(start + lo, start + hi),
+                                 jnp.full((pad,), start + hi - 1, jnp.int32)]))
+                d = jax.tree.map(lambda x: np.asarray(x)[:m], d)
+                dets.append(d)
         det = jax.tree.map(lambda *x: np.concatenate(x), *dets)
 
-        # 3) flatten valid pairs -> chunked flat register+verify
+        # 3) flatten valid pairs -> chunked flat register+verify with
+        #    device-side payload gathering from the store
         pairs = []  # (query, k-slot)
         for qi in range(n - start):
             for k in range(cfg.scancontext.n_candidates):
                 if det.valid[qi, k]:
                     pairs.append((qi, k))
         results = {}
-        stack_tree = lambda items: jax.tree.map(
-            lambda *x: jnp.stack(x), *items)
         mesh = self.mesh if (self.mesh is not None
                              and self.mesh.devices.size > 1) else None
         align = mesh.devices.size if mesh is not None else 1
         pair_chunk = ((pair_chunk + align - 1) // align) * align
-        for lo in range(0, len(pairs), pair_chunk):
-            sel = pairs[lo: lo + pair_chunk]
-            n_real = len(sel)
-            # pad to the full chunk (one compiled shape) when more waves
-            # follow, and to a multiple of the mesh size always
-            target = pair_chunk if len(pairs) > pair_chunk \
-                else ((n_real + align - 1) // align) * align
-            if n_real < target:
-                sel = sel + [sel[-1]] * (target - n_real)
-            q_cells = stack_tree([self.kf_cells[start + qi] for qi, _ in sel])
-            q_peaks = stack_tree([self.kf_peaks[start + qi] for qi, _ in sel])
-            c_cells = stack_tree(
-                [self.kf_cells[int(det.index[qi, k])] for qi, k in sel])
-            c_peaks = stack_tree(
-                [self.kf_peaks[int(det.index[qi, k])] for qi, k in sel])
-            taug = jnp.asarray(np.stack(
-                [taug_np[qi][det.aug[qi, k]] for qi, k in sel]))
-            yaw = jnp.asarray([det.yaw[qi, k] for qi, k in sel])
-            sc_sim = jnp.asarray(
-                [det.dist_sc[qi, k] + det.dist_odom[qi, k] for qi, k in sel],
-                jnp.float32)
-            odom_b = jnp.asarray([det.dist_odom[qi, k] for qi, k in sel],
-                                 jnp.float32)
-            if mesh is not None:
-                from ..parallel import candidates as par_cand
+        with timing.timer("loop_wave_pairs"):
+            for lo in range(0, len(pairs), pair_chunk):
+                sel = pairs[lo: lo + pair_chunk]
+                n_real = len(sel)
+                # pad to the full chunk (one compiled shape) when more waves
+                # follow, and to a multiple of the mesh size always
+                target = pair_chunk if len(pairs) > pair_chunk \
+                    else ((n_real + align - 1) // align) * align
+                if n_real < target:
+                    sel = sel + [sel[-1]] * (target - n_real)
+                qi_idx = jnp.asarray([start + qi for qi, _ in sel])
+                ci_idx = jnp.asarray([int(det.index[qi, k])
+                                      for qi, k in sel])
+                q_cells, q_peaks, c_cells, c_peaks = gather_pair_trees(
+                    store_cells, store_peaks, qi_idx, ci_idx)
+                taug = jnp.asarray(np.stack(
+                    [taug_const[det.aug[qi, k]] for qi, k in sel]))
+                yaw = jnp.asarray([det.yaw[qi, k] for qi, k in sel])
+                sc_sim = jnp.asarray(
+                    [det.dist_sc[qi, k] + det.dist_odom[qi, k]
+                     for qi, k in sel], jnp.float32)
+                odom_b = jnp.asarray([det.dist_odom[qi, k] for qi, k in sel],
+                                     jnp.float32)
+                if mesh is not None:
+                    from ..parallel import candidates as par_cand
 
-                res = par_cand.sharded_register_and_verify_pairs(
-                    mesh, q_cells, q_peaks, c_cells, c_peaks, taug, yaw,
-                    sc_sim, odom_b, jnp.ones((len(sel),), bool),
-                    self.align_model, self.loop_model, cfg)
-            else:
-                res = register_and_verify_pairs(
-                    q_cells, q_peaks, c_cells, c_peaks, taug, yaw, sc_sim,
-                    odom_b, jnp.ones((len(sel),), bool), self.align_model,
-                    self.loop_model, cfg)
-            res = jax.device_get(res)
-            for i, (qi, k) in enumerate(sel[:n_real]):
-                results[(qi, k)] = jax.tree.map(lambda x: x[i], res)
+                    res = par_cand.sharded_register_and_verify_pairs(
+                        mesh, q_cells, q_peaks, c_cells, c_peaks, taug, yaw,
+                        sc_sim, odom_b, jnp.ones((len(sel),), bool),
+                        self.align_model, self.loop_model, cfg)
+                else:
+                    res = register_and_verify_pairs(
+                        q_cells, q_peaks, c_cells, c_peaks, taug, yaw, sc_sim,
+                        odom_b, jnp.ones((len(sel),), bool), self.align_model,
+                        self.loop_model, cfg)
+                res = jax.device_get(res)
+                for i, (qi, k) in enumerate(sel[:n_real]):
+                    results[(qi, k)] = jax.tree.map(lambda x: x[i], res)
 
         # 4) per-query acceptance in order (ApplyConstratins semantics)
         accepted: List[LoopConstraint] = []
@@ -623,7 +746,10 @@ class LoopCloser:
             self.db = db_insert(self.db, jnp.asarray(q), descs[0], rings[0],
                                 jnp.asarray(self.kf_odom[q]))
         with timing.timer("loop_detect"):
-            det = detect(self.db, descs, rings, jnp.asarray(q), cfg)
+            det_mesh = self.mesh if (self.mesh is not None
+                                     and self.mesh.devices.size > 1) else None
+            det = detect(self.db, descs, rings, jnp.asarray(q), cfg,
+                         mesh=det_mesh)
             det = jax.device_get(det)
         if not bool(det.valid.any()):
             return []

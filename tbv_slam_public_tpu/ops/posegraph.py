@@ -430,6 +430,70 @@ def _partitioned_tridiag_solve(D, O, b, seg: int):
                                       b)
 
 
+def _chain_blocks(n, edges, wJb, wJe, gauge_mask):
+    """Block-tridiagonal (D, O) of the odometry-chain part of H from
+    gauge-projected whitened jacobians: D [N,3,3] diagonal blocks,
+    O [N,3,3] with O[i] coupling (i, i+1).  Partial sums — shard-local when
+    edges are sharded; callers psum before use."""
+    is_chain = ((edges.idx[:, 1] == edges.idx[:, 0] + 1)
+                & (edges.etype == ODOMETRY) & edges.mask)
+    cb = jnp.where(is_chain[:, None, None], wJb, 0.0)
+    ce = jnp.where(is_chain[:, None, None], wJe, 0.0)
+    Hbb = jnp.einsum("eri,erj->eij", cb, cb)
+    Hee = jnp.einsum("eri,erj->eij", ce, ce)
+    Hbe = jnp.einsum("eri,erj->eij", cb, ce)
+    D = jnp.zeros((n, 3, 3), wJb.dtype)
+    D = D.at[edges.idx[:, 0]].add(Hbb)
+    D = D.at[edges.idx[:, 1]].add(Hee)
+    O = jnp.zeros((n, 3, 3), wJb.dtype)
+    O = O.at[jnp.minimum(edges.idx[:, 0], n - 1)].add(
+        jnp.where(is_chain[:, None, None], Hbe, 0.0))
+    return D, O
+
+
+def _chain_precond_prepare(D, O, gauge_mask, lam_diag, seg: int = 16):
+    """Factorize T = chain + damping (+ gauge identity) for use as a CG
+    preconditioner: Jacobi equilibration + the partitioned tridiagonal
+    factorization of :func:`_partitioned_tridiag_prepare`.  Returns
+    (ctx, dscale, pad_n, n); apply with :func:`_chain_precond_apply`.
+    T is tiny ([N,3,3] ~ 160 KB at reference scale), so a replicated
+    factorization costs nothing while turning CG on the SLAM chain (whose
+    unpreconditioned condition number grows ~N^3) into a rank-3L identity
+    perturbation."""
+    n = D.shape[0]
+    eye = jnp.eye(3, dtype=D.dtype)
+    D = D + jax.vmap(jnp.diag)(lam_diag) + 1e-8 * eye[None]
+    D = jnp.where(gauge_mask[:, None, None], D, eye[None])
+    O = jnp.where((gauge_mask[:-1] & gauge_mask[1:])[:, None, None],
+                  O[:-1], 0.0)
+    O = jnp.concatenate([O, jnp.zeros((1, 3, 3), D.dtype)], 0)
+    dscale = 1.0 / jnp.sqrt(jnp.maximum(
+        jnp.diagonal(D, axis1=-2, axis2=-1), 1e-20))
+    Ds = D * dscale[:, :, None] * dscale[:, None, :]
+    ds_next = jnp.concatenate([dscale[1:], jnp.ones_like(dscale[:1])], 0)
+    Os = O * dscale[:, :, None] * ds_next[:, None, :]
+    pad_n = (-n) % seg
+    if pad_n:
+        eye_pad = jnp.broadcast_to(eye, (pad_n, 3, 3))
+        Ds = jnp.concatenate([Ds, eye_pad], 0)
+        Os = jnp.concatenate([Os, jnp.zeros((pad_n, 3, 3), D.dtype)], 0)
+    ctx = _partitioned_tridiag_prepare(Ds, Os, seg=seg)
+    return ctx, dscale, pad_n, n
+
+
+def _chain_precond_apply(prep, v):
+    """v [N,3] -> T^{-1} v using a prepared chain preconditioner."""
+    ctx, dscale, pad_n, n = prep
+    rs = (v * dscale)[:, :, None]
+    if pad_n:
+        rs = jnp.concatenate(
+            [rs, jnp.zeros((pad_n, 3, 1), rs.dtype)], 0)
+    x = _partitioned_tridiag_apply(ctx, rs)
+    if pad_n:
+        x = x[:n]
+    return x[..., 0] * dscale
+
+
 def _schur_solve(n, edges, blocks, gauge_mask, lam_diag, g, loop_idx,
                  refine_level: int = 2, seg_cap: int = 16):
     """Direct solve of (H + damping) x = -g exploiting SLAM structure:
@@ -452,17 +516,7 @@ def _schur_solve(n, edges, blocks, gauge_mask, lam_diag, g, loop_idx,
     wJb = jnp.where(free_b[:, None, None], wJb, 0.0)
     wJe = jnp.where(free_e[:, None, None], wJe, 0.0)
 
-    cb = jnp.where(is_chain[:, None, None], wJb, 0.0)
-    ce = jnp.where(is_chain[:, None, None], wJe, 0.0)
-    Hbb = jnp.einsum("eri,erj->eij", cb, cb)
-    Hee = jnp.einsum("eri,erj->eij", ce, ce)
-    Hbe = jnp.einsum("eri,erj->eij", cb, ce)
-    D = jnp.zeros((n, 3, 3), wJb.dtype)
-    D = D.at[edges.idx[:, 0]].add(Hbb)
-    D = D.at[edges.idx[:, 1]].add(Hee)
-    O = jnp.zeros((n, 3, 3), wJb.dtype)
-    O = O.at[jnp.minimum(edges.idx[:, 0], n - 1)].add(
-        jnp.where(is_chain[:, None, None], Hbe, 0.0))
+    D, O = _chain_blocks(n, edges, wJb, wJe, gauge_mask)
 
     # loop-edge diagonal contributions live in U^T U; damping over the FULL
     # diagonal (chain + loops) goes into T

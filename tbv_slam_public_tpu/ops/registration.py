@@ -301,32 +301,40 @@ def _lm_solve(theta0, src, assoc, *, cost, loss, delta, max_iter, init_lambda,
     Mirrors Ceres' trust-region LM (options_.max_num_iterations = 20,
     n_scan_normal.cpp:9) closely enough for parity: diagonal damping, accept on
     cost decrease, track the last relative decrease for the outer-loop guard.
+
+    ONE residual pass per iteration (r4): each candidate evaluation computes
+    (cost, grad, Hessian) together; on accept they seed the next step, on
+    reject the stored grad/Hessian of the incumbent are reused.  Identical
+    iterate trajectory to the two-pass form (grad/H at the incumbent are the
+    same values it was accepted with), at half the kernel count — the wave's
+    wall-clock is sequential-small-kernel bound, not FLOP bound.
     """
 
     def body(_, state):
-        theta, lam, cur_cost, rel_dec = state
-        _, g, H = _cost_grad_hess(theta, src, assoc, cost=cost, loss=loss,
-                                  delta=delta, prior=prior)
+        theta, lam, cur_cost, g, H, rel_dec = state
         damp = lam * jnp.diag(jnp.diagonal(H)) + 1e-12 * jnp.eye(3)
         step = -jnp.linalg.solve(H + damp, g)
         cand = theta + step
-        new_cost = _cost_only(cand, src, assoc, cost=cost, loss=loss,
-                              delta=delta, prior=prior)
-        accept = new_cost < cur_cost
+        cand_cost, cand_g, cand_H = _cost_grad_hess(
+            cand, src, assoc, cost=cost, loss=loss, delta=delta, prior=prior)
+        accept = cand_cost < cur_cost
         theta = jnp.where(accept, cand, theta)
+        g = jnp.where(accept, cand_g, g)
+        H = jnp.where(accept, cand_H, H)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),
                         jnp.minimum(lam * 4.0, 1e6))
         rel_dec = jnp.where(
-            accept, (cur_cost - new_cost) / jnp.maximum(cur_cost, 1e-20), rel_dec
-        )
-        cur_cost = jnp.where(accept, new_cost, cur_cost)
-        return theta, lam, cur_cost, rel_dec
+            accept, (cur_cost - cand_cost) / jnp.maximum(cur_cost, 1e-20),
+            rel_dec)
+        cur_cost = jnp.where(accept, cand_cost, cur_cost)
+        return theta, lam, cur_cost, g, H, rel_dec
 
-    init_cost = _cost_only(theta0, src, assoc, cost=cost, loss=loss, delta=delta,
-                           prior=prior)
+    init_cost, g0, h0 = _cost_grad_hess(theta0, src, assoc, cost=cost,
+                                        loss=loss, delta=delta, prior=prior)
     state = (theta0, jnp.asarray(init_lambda, theta0.dtype), init_cost,
-             jnp.asarray(1.0, theta0.dtype))
-    theta, _, final_cost, rel_dec = jax.lax.fori_loop(0, max_iter, body, state)
+             g0, h0, jnp.asarray(1.0, theta0.dtype))
+    theta, _, final_cost, _, _, rel_dec = jax.lax.fori_loop(
+        0, max_iter, body, state)
     return theta, final_cost, rel_dec
 
 

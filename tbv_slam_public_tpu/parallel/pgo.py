@@ -46,11 +46,27 @@ def optimize_distributed(
     node_mask: jnp.ndarray,  # [N]
     edges: GraphEdges,  # leaves [E, ...], E divisible by mesh size
     cfg: PGOConfig,
+    preconditioner: str = "chain",
 ) -> pg.PGOResult:
     """Robust LM with edge-sharded CG; result is replicated on all devices.
 
     Same semantics as ops.posegraph.optimize(solver="cg"), but every
     edge-indexed reduction is a partial sum followed by ``psum(axis)``.
+
+    ``preconditioner``:
+
+    - ``"chain"`` (default, r4): the odometry-chain block-tridiagonal T
+      (+ damping) is assembled by psum and factorized REPLICATED via the
+      schur solver's partitioned substructured factorization
+      (ops.posegraph._chain_precond_prepare) — T is ~160 KB at reference
+      scale, so replicating its factorization is free, while the
+      preconditioned Hessian I + T^{-1}U^TU is a rank-3L perturbation of
+      the identity and CG converges like the direct schur/Woodbury solve
+      instead of stalling on the chain's O(N^3) condition number (the r3
+      block-Jacobi path moved the 4470-node instance's ATE by only 2% in
+      32 LM iterations; this one matches the single-chip schur solver).
+      Every CG matvec remains edge-sharded with one psum.
+    - ``"jacobi"``: the r3 block-Jacobi diagonal.
     """
     n = poses.shape[0]
     axis = mesh.axis_names[0]
@@ -79,15 +95,35 @@ def optimize_distributed(
             _, w = pg._cauchy_weights(r, edges, cfg)
 
             lam_diag = lam * jnp.diagonal(diag, axis1=-2, axis2=-1)
-            damp = diag + jax.vmap(jnp.diag)(lam_diag) + 1e-9 * jnp.eye(3)[None]
-            minv = jnp.linalg.inv(damp)
 
             def A(v):
                 hv = pg._hvp(v, edges, w, Jb, Je, gauge_mask)
                 return jax.lax.psum(hv, axis) + lam_diag * v + 1e-9 * v
 
-            def precond(v):
-                return jnp.einsum("nij,nj->ni", minv, v)
+            if preconditioner == "chain":
+                wJb, wJe = blocks  # sqrt(w)-weighted whitened jacobians
+                free_b = gauge_mask[edges.idx[:, 0]]
+                free_e = gauge_mask[edges.idx[:, 1]]
+                wJb = jnp.where(free_b[:, None, None], wJb, 0.0)
+                wJe = jnp.where(free_e[:, None, None], wJe, 0.0)
+                D_loc, O_loc = pg._chain_blocks(n, edges, wJb, wJe,
+                                                gauge_mask)
+                D = jax.lax.psum(D_loc, axis)
+                O = jax.lax.psum(O_loc, axis)
+                prep = pg._chain_precond_prepare(D, O, gauge_mask, lam_diag,
+                                                 seg=cfg.schur_seg)
+
+                def precond(v):
+                    return jnp.where(
+                        gauge_mask[:, None],
+                        pg._chain_precond_apply(prep, v), 0.0)
+            else:
+                damp = diag + jax.vmap(jnp.diag)(lam_diag) \
+                    + 1e-9 * jnp.eye(3)[None]
+                minv = jnp.linalg.inv(damp)
+
+                def precond(v):
+                    return jnp.einsum("nij,nj->ni", minv, v)
 
             b = jnp.where(gauge_mask[:, None], -g, 0.0)
             x = jnp.zeros_like(b)
