@@ -82,10 +82,23 @@ def run_sweep(par_file: str, dataset: str, output: str,
               base_overrides: Optional[List[str]] = None, workers: int = 1,
               max_frames: int = 0, mode: str = "online") -> List[Dict]:
     """Run the cartesian sweep; returns per-job summary dicts and writes
-    ``merged.csv`` (merge_eval.py analogue)."""
+    ``merged.csv`` (merge_eval.py analogue) plus ``sweep_report.json``.
+
+    Multi-host (SURVEY §2.6 P6): when launched under ``jax.distributed``
+    (one process per host), the job list is round-robin partitioned across
+    hosts via :func:`parallel.multihost.my_jobs` — each host runs and merges
+    only its share, the eval.py job farm spread over machines instead of
+    local processes.  Single-process runs take every job.
+    """
+    import time as _time
+
+    from ..parallel import multihost
+
     jobs = read_par_file(par_file)
     os.makedirs(output, exist_ok=True)
     results: List[Dict] = []
+    my_job_ids = multihost.my_jobs(list(range(len(jobs))))
+    t0 = _time.perf_counter()
 
     def job_args(k: int) -> Tuple[str, str, str, List[str], int]:
         outdir = os.path.join(output, f"job_{k}")
@@ -93,7 +106,7 @@ def run_sweep(par_file: str, dataset: str, output: str,
         return (mode, dataset, outdir, overrides, max_frames)
 
     if workers <= 1:
-        for k in range(len(jobs)):
+        for k in my_job_ids:
             res = _run_job_inprocess(*job_args(k))
             res["job"] = k
             res["pars"] = " ".join(jobs[k])
@@ -104,13 +117,22 @@ def run_sweep(par_file: str, dataset: str, output: str,
 
         ctx = mp.get_context("spawn")
         with ProcessPoolExecutor(max_workers=workers, mp_context=ctx) as ex:
-            futs = [ex.submit(_run_job_subprocess, *job_args(k))
-                    for k in range(len(jobs))]
-            for k, fut in enumerate(futs):
+            futs = {k: ex.submit(_run_job_subprocess, *job_args(k))
+                    for k in my_job_ids}
+            for k, fut in futs.items():
                 res = fut.result()
                 res["job"] = k
                 res["pars"] = " ".join(jobs[k])
                 results.append(res)
+
+    # cross-host throughput bookkeeping (scaling_report aggregates the
+    # per-host job counts; single-process: hosts=1, all jobs local)
+    report = multihost.scaling_report(len(results),
+                                      _time.perf_counter() - t0)
+    report["total_jobs"] = len(jobs)
+    report["my_jobs"] = list(my_job_ids)
+    with open(os.path.join(output, "sweep_report.json"), "w") as f:
+        json.dump(report, f)
 
     # merged.csv: union of keys over all jobs
     keys = sorted({k for r in results for k in r.keys()})

@@ -183,3 +183,38 @@ def test_evaluate_scans_cli(odometry_out, tmp_path, capsys):
     # the aligned sample (dx=dy=dtheta=0) must exist in each pair
     aligned = rows[rows[:, 4] > 0.5]
     assert len(aligned) == 3
+
+
+def test_sweep_multihost_partition(tmp_path, monkeypatch):
+    """The sweep's job list is round-robin partitioned across hosts
+    (parallel.multihost.my_jobs — the multi-process eval.py analogue,
+    VERDICT r3 #8): simulate host 1 of 2 and check only its share runs."""
+    import tbv_slam_public_tpu.parallel.multihost as mh
+    from tbv_slam_public_tpu.harness import sweep
+
+    par = tmp_path / "pars.csv"
+    par.write_text("radar.k_strongest,4,6\n"
+                   "features.cell_capacity,128,192\n")  # 4 jobs
+    monkeypatch.setattr(mh, "my_jobs",
+                        lambda items: [x for i, x in enumerate(items)
+                                       if i % 2 == 1])
+    monkeypatch.setattr(mh, "scaling_report",
+                        lambda frames, seconds: dict(
+                            hosts=2, frames=int(frames), seconds=seconds,
+                            frames_per_s=frames / max(seconds, 1e-9)))
+    out = tmp_path / "sweep"
+    results = sweep.run_sweep(
+        str(par), "sim:12:3", str(out),
+        base_overrides=["features.grid_extent=60.0",
+                        "scancontext.db_chunk=64"],
+        workers=1, max_frames=12, mode="odometry")
+    assert [r["job"] for r in results] == [1, 3]
+    assert (out / "job_1").exists() and (out / "job_3").exists()
+    assert not (out / "job_0").exists()
+    import json as _json
+    rep = _json.loads((out / "sweep_report.json").read_text())
+    assert rep["hosts"] == 2 and rep["total_jobs"] == 4
+    assert rep["my_jobs"] == [1, 3]
+    # merged.csv covers exactly this host's share
+    merged = (out / "merged.csv").read_text().strip().splitlines()
+    assert len(merged) == 3  # header + 2 rows
