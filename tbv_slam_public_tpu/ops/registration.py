@@ -183,11 +183,16 @@ def associate(
     src_normal_w = se2.rotate(src_pose, src.normal)  # [C, 2]
 
     def per_target(t_mean, t_normal, t_cov, t_n, t_plan, t_valid):
-        d2 = _pairwise_sqdist(src_mean_w, t_mean)  # [Cs, Ct]
+        # Fused broadcast form (r4): XLA folds the [Cs, Ct] masked distance
+        # expression straight into the argmin reduction — nothing the size
+        # of the distance matrix is materialized in HBM (the earlier matmul
+        # form wrote the [Cs, Ct] product out).  The winner's distance is
+        # recomputed from the gathered point, O(Cs).
+        d2 = jnp.sum((src_mean_w[:, None, :] - t_mean[None, :, :]) ** 2, -1)
         d2 = jnp.where(t_valid[None, :], d2, jnp.inf)
         nn = jnp.argmin(d2, axis=1)  # [Cs]
-        nn_d2 = jnp.take_along_axis(d2, nn[:, None], axis=1)[:, 0]
-        in_radius = nn_d2 < radius * radius
+        nn_d2 = jnp.sum((src_mean_w - t_mean[nn]) ** 2, -1)
+        in_radius = (nn_d2 < radius * radius) & t_valid[nn]
 
         nn_normal = t_normal[nn]  # [Cs, 2]
         dir_sim = jnp.maximum(jnp.sum(src_normal_w * nn_normal, axis=1), 0.0)
