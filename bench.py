@@ -341,6 +341,53 @@ def main():
 
     run_stage("candidate_wave", stage_candidates)
 
+    # ---- stage 2b: descriptor retrieval at reference DB scale -------------
+    # detect() (odometry-coupled ring-key NN + all-shift SC distance over
+    # augmentations, dedup, top-N) against a 4471-keyframe database — the
+    # scale of the reference's Oxford run, where its linear OdometryNNSearch
+    # + per-candidate column scans cost 29.9 ms/query on CPU
+    # (job_0/time_statistics.txt:25-27, "Detect loop").
+    def stage_retrieval():
+        from tbv_slam_public_tpu.models import loopclosure as lcm
+
+        sc = cfg.scancontext
+        n_db = 4471
+        cap = ((n_db + sc.db_chunk - 1) // sc.db_chunk) * sc.db_chunk
+        db = lcm.make_db(cap, cfg)
+        r = np.random.default_rng(1)
+        descs = jnp.asarray(r.uniform(0, 2.0, (cap, sc.num_ring,
+                                               sc.num_sector)), jnp.float32)
+        rings = jax.vmap(lambda d: d.mean(axis=-1))(descs)
+        steps = r.uniform(1.0, 2.5, (cap, 2)).astype(np.float32)
+        pose = np.concatenate([np.cumsum(steps, 0),
+                               np.zeros((cap, 1), np.float32)], 1)
+        db = lcm.db_insert_batch(db, jnp.arange(n_db), descs[:n_db],
+                                 rings[:n_db], jnp.asarray(pose[:n_db]))
+        a = 1 + (len(sc.augment_offsets) if sc.augment_sc else 0)
+        qb = 32  # query wave
+        qdescs = jnp.stack([jnp.stack([descs[i] + 0.01 * k
+                                       for k in range(a)])
+                            for i in range(qb)])
+        qrings = jax.vmap(jax.vmap(lambda d: d.mean(axis=-1)))(qdescs)
+        slots = jnp.arange(n_db - qb, n_db)
+        detect_v = jax.jit(jax.vmap(
+            lambda d, rg, s: lcm.detect(db, d, rg, s, cfg),
+            in_axes=(0, 0, 0)))
+
+        def chained(eps):
+            det = detect_v(qdescs + eps, qrings, slots)
+            return _tree_reduce((det.dist, det.index))
+
+        per_wave = _checked_slope_time(chained, 3, 9)
+        extra["retrieval_db_keyframes"] = n_db
+        extra["retrieval_queries_per_s"] = round(qb / per_wave, 1)
+        extra["retrieval_ms_per_query"] = round(per_wave / qb * 1e3, 3)
+        extra["retrieval_vs_baseline"] = round(
+            (qb / per_wave) / (1000.0 / 29.9), 2)
+
+    if not args.small:
+        run_stage("retrieval", stage_retrieval)
+
     # ---- stage 3: pose-graph optimization at reference scale -------------
     # The realistic-drift instance: the reference's own published Oxford
     # 10-12-32 keyframe GT route (4470 keyframes, real revisit structure)

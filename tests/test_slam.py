@@ -173,3 +173,42 @@ def test_online_periodic_optimization_and_training():
     # alignment learner collected pairs and refit the verifier's model
     assert slam.alignment_learner.num_samples >= 26
     assert slam.loops.align_model is not default_model
+
+
+def test_batched_wave_matches_sequential_loop_closure():
+    """process_all_batched (device-store context building + gathered pair
+    waves, r4) must accept the same constraints as the per-keyframe
+    process_pending/finish path on identical keyframes."""
+    import jax
+    from tbv_slam_public_tpu.io import simulate as sim
+    from tbv_slam_public_tpu.models.loopclosure import LoopCloser
+    from tbv_slam_public_tpu.ops import features, radar
+
+    cfg = slam_config()
+    rng = np.random.default_rng(5)
+    world = sim.make_world(rng, num_walls=60, extent=60.0)
+    traj = sim.loop_trajectory(70, radius=15.0, step=2.0, laps=1.4)
+    cap = cfg.verification.peaks_capacity
+    scans = []
+    for p in traj:
+        img = sim.render_scan(world, p, num_azimuths=cfg.radar.num_azimuths,
+                              num_range_bins=cfg.radar.num_range_bins,
+                              range_res=cfg.radar.range_res, rng=rng)
+        cloud, peaks = radar.kstrongest_filter(jnp.asarray(img), cfg.radar)
+        cells = features.compute_cells(cloud, cfg.features)
+        scans.append((jax.tree.map(lambda x: x[:cap], peaks), cells))
+
+    seq_closer = LoopCloser(cfg)
+    bat_closer = LoopCloser(cfg)
+    for (peaks, cells), p in zip(scans, traj):
+        seq_closer.add_keyframe(peaks, cells, p)
+        bat_closer.add_keyframe(peaks, cells, p)
+    seq_out = seq_closer.process_pending() + seq_closer.finish()
+    bat_out = bat_closer.process_all_batched(pair_chunk=16)
+
+    assert len(seq_out) > 0, "sequential baseline found no loops"
+    assert len(seq_out) == len(bat_out)
+    for a, b in zip(seq_out, bat_out):
+        assert (a.id_from, a.id_to) == (b.id_from, b.id_to)
+        np.testing.assert_allclose(a.t_be, b.t_be, atol=2e-3)
+        assert abs(a.prob - b.prob) < 5e-3
