@@ -314,7 +314,8 @@ def main():
                                  *[c[2] for c in cands])
         all_cells = jax.tree.map(lambda *x: jnp.stack(x),
                                  *[c[3] for c in cands])
-        for b in batches:
+
+        def measure_batch(b):
             c_peaks = jax.tree.map(lambda x: x[:b], all_peaks)
             c_cells = jax.tree.map(lambda x: x[:b], all_cells)
             zeros = jnp.zeros((b,))
@@ -327,11 +328,21 @@ def main():
                     align_model, loop_model, cfg)
                 return _tree_reduce(res)
 
-            wave_s = _checked_slope_time(cand_wave, 3, 9)
-            cands_per_s = b / wave_s
-            sweep[str(b)] = round(cands_per_s, 2)
-            if cands_per_s > best[0]:
-                best = (cands_per_s, b)
+            return b / _checked_slope_time(cand_wave, 3, 9)
+
+        # Two INTERLEAVED sweep passes, best-of per batch: the tunneled
+        # backend's throughput drifts over minutes, which is what made the
+        # r3 sweep non-monotonic — a sequential sweep confounds batch size
+        # with measurement time.  Min-time (max-throughput) over interleaved
+        # passes removes the drift (noise on this channel is additive).
+        for pass_ in range(2):
+            for b in batches:
+                cands_per_s = measure_batch(b)
+                sweep[str(b)] = round(max(sweep.get(str(b), 0.0),
+                                          cands_per_s), 2)
+        for b in batches:
+            if sweep[str(b)] > best[0]:
+                best = (sweep[str(b)], b)
         extra["candidate_batch"] = best[1]
         extra["candidate_sweep"] = sweep
         extra["loop_candidates_per_s"] = round(best[0], 2)
