@@ -142,3 +142,38 @@ def test_kitti_matches_published_oxford_results():
 # NOTE: odom/01.txt holds all 8617 frames while gt/00.txt holds the 4470
 # keyframes — the full-frame GT the reference used for its odom/result.txt is
 # not checked in, so only the est-side numbers can be reproduced here.
+
+
+def test_inject_odometry_drift_calibrates_to_target():
+    """simulate.inject_odometry_drift: chained drifted poses hit the ATE
+    target and stay consistent with the perturbed constraints."""
+    import jax.numpy as jnp
+
+    from tbv_slam_public_tpu.core import se2
+    from tbv_slam_public_tpu.eval.trajectory import ate_rmse
+    from tbv_slam_public_tpu.io import simulate
+
+    gt = simulate.loop_trajectory(200, radius=30.0, step=1.6, laps=2.0)
+    idx = np.asarray([(i, i + 1) for i in range(len(gt) - 1)], np.int32)
+    meas = np.asarray([np.asarray(se2.relative(jnp.asarray(gt[i]),
+                                               jnp.asarray(gt[i + 1])))
+                       for i in range(len(gt) - 1)], np.float32)
+    target = 3.0
+    poses, dmeas = simulate.inject_odometry_drift(gt, idx, meas, gt,
+                                                  target_ate_m=target, seed=1)
+    ate = ate_rmse(poses, gt)
+    assert abs(ate - target) < 0.2 * target, ate
+    # re-chaining the drifted constraints reproduces the drifted poses
+    chain = np.asarray(gt, np.float32).copy()
+    for e in range(len(idx)):
+        a, b = idx[e]
+        chain[b] = np.asarray(se2.compose(jnp.asarray(chain[a]),
+                                          jnp.asarray(dmeas[e])))
+    np.testing.assert_allclose(chain[:, :2], poses[:, :2], atol=2e-3)
+    dth = np.arctan2(np.sin(chain[:, 2] - poses[:, 2]),
+                     np.cos(chain[:, 2] - poses[:, 2]))
+    np.testing.assert_allclose(dth, 0.0, atol=2e-3)
+    # translation noise stays at the calibrated scale (not exploding)
+    step_err = np.linalg.norm((dmeas - meas)[:, :2], axis=1)
+    step_len = np.linalg.norm(meas[:, :2], axis=1)
+    assert np.percentile(step_err / np.maximum(step_len, 1e-9), 95) < 0.1
