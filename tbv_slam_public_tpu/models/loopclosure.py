@@ -617,9 +617,13 @@ class LoopCloser:
         descs_dev, rings_dev = [], []
         n_total = jnp.asarray(n, jnp.int32)
         with timing.timer("loop_wave_context"):
+            # chunks ALWAYS pad to detect_chunk: one universal compiled
+            # shape per configuration, reused across sequence lengths and
+            # cached across runs (a 174-keyframe run otherwise compiles
+            # one-off shape-174 programs)
             for lo in range(0, total, detect_chunk):
                 hi = min(lo + detect_chunk, total)
-                pad = detect_chunk - (hi - lo) if total > detect_chunk else 0
+                pad = detect_chunk - (hi - lo)
                 q = jnp.concatenate([
                     jnp.arange(start + lo, start + hi),
                     jnp.full((pad,), start + hi - 1, jnp.int32)])
@@ -646,7 +650,7 @@ class LoopCloser:
             for ci, lo in enumerate(range(0, total, detect_chunk)):
                 hi = min(lo + detect_chunk, total)
                 m = hi - lo
-                pad = detect_chunk - m if total > detect_chunk else 0
+                pad = detect_chunk - m
                 d = detect_v(self.db, descs_dev[ci], rings_dev[ci],
                              jnp.concatenate([
                                  jnp.arange(start + lo, start + hi),
@@ -671,12 +675,10 @@ class LoopCloser:
             for lo in range(0, len(pairs), pair_chunk):
                 sel = pairs[lo: lo + pair_chunk]
                 n_real = len(sel)
-                # pad to the full chunk (one compiled shape) when more waves
-                # follow, and to a multiple of the mesh size always
-                target = pair_chunk if len(pairs) > pair_chunk \
-                    else ((n_real + align - 1) // align) * align
-                if n_real < target:
-                    sel = sel + [sel[-1]] * (target - n_real)
+                # ALWAYS pad to the full chunk: one compiled shape per
+                # configuration regardless of the pair count
+                if n_real < pair_chunk:
+                    sel = sel + [sel[-1]] * (pair_chunk - n_real)
                 qi_idx = jnp.asarray([start + qi for qi, _ in sel])
                 ci_idx = jnp.asarray([int(det.index[qi, k])
                                       for qi, k in sel])
