@@ -571,7 +571,9 @@ def main():
                      "loop_wave_detect", "loop_wave_pairs"):
             timing._samples.pop(name, None)
         t1 = time.perf_counter()
-        for c in slam.loops.process_all_batched():
+        # pair_chunk 256: wave throughput is flat 64->256 (PARITY roofline)
+        # while each wave costs ~3 tunnel round trips -- fewer, larger waves
+        for c in slam.loops.process_all_batched(pair_chunk=256):
             slam.graph.add_loop_constraint(c)
         loops_s = time.perf_counter() - t1
         t2 = time.perf_counter()

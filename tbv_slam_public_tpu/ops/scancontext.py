@@ -40,16 +40,29 @@ def _descriptor_impl(xy, intensity, mask, *, num_ring: int, num_sector: int,
     # ring = max(min(R, ceil(r/maxR*R)), 1) - 1  (RadarScancontext.cpp:88-89)
     ring = jnp.clip(jnp.ceil(r / max_radius * num_ring), 1, num_ring) - 1
     sector = jnp.clip(jnp.ceil(ang / 360.0 * num_sector), 1, num_sector) - 1
+    if desc_function == "sum":
+        # MXU form (r4): bin = (ring, sector) factorizes, so the scatter-add
+        # becomes TWO one-hot contractions — desc = Ronehot^T diag(I) Sonehot
+        # — instead of a segment_sum (scatters serialize on TPU; this was
+        # the batched context builder's dominant cost at 1280 descriptors
+        # per e2e wave).  f32 accumulation forced: counts feed a `> 0` test.
+        ring_oh = ((ring[:, None] == jnp.arange(num_ring)[None, :])
+                   & in_range[:, None])
+        sec_oh = (sector[:, None] == jnp.arange(num_sector)[None, :])
+        ring_w = ring_oh.astype(intensity.dtype) * intensity[:, None]
+        sec_f = sec_oh.astype(intensity.dtype)
+        desc = jnp.einsum("pr,ps->rs", ring_w, sec_f,
+                          precision=jax.lax.Precision.HIGHEST)
+        counts = jnp.einsum("pr,ps->rs", ring_oh.astype(jnp.float32), sec_f,
+                            precision=jax.lax.Precision.HIGHEST)
+        desc = desc / desc_divider
+        return jnp.where(counts > 0.5, desc, no_point)
     lin = (ring * num_sector + sector).astype(jnp.int32)
     lin = jnp.where(in_range, lin, num_ring * num_sector)  # spill bin
     nbins = num_ring * num_sector + 1
-    if desc_function == "sum":
-        desc = jax.ops.segment_sum(
-            jnp.where(in_range, intensity, 0.0), lin, num_segments=nbins)
-    else:  # max
-        desc = jax.ops.segment_max(
-            jnp.where(in_range, intensity, -jnp.inf), lin, num_segments=nbins)
-        desc = jnp.where(jnp.isfinite(desc), desc, 0.0)
+    desc = jax.ops.segment_max(
+        jnp.where(in_range, intensity, -jnp.inf), lin, num_segments=nbins)
+    desc = jnp.where(jnp.isfinite(desc), desc, 0.0)
     counts = jax.ops.segment_sum(in_range.astype(jnp.float32), lin,
                                  num_segments=nbins)
     desc = desc[:-1].reshape(num_ring, num_sector) / desc_divider
