@@ -213,6 +213,11 @@ def main():
     def stage_calibrate():
         tflops = _calibrate_timing()
         extra["calibration_matmul_tflops"] = round(tflops, 2)
+        if tflops > 400.0:
+            # beyond ~2x a v5e's bf16 peak: not the unforced-execution
+            # failure (that shows up 1e3-1e6x over and aborts), but enough
+            # to mark this run's absolute timings as low-confidence
+            extra["calibration_suspect"] = True
         timing_ok["ok"] = True
 
     run_stage("calibrate", stage_calibrate)
