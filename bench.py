@@ -106,18 +106,22 @@ def _calibrate_timing(peak_flops=2.0e15):
     import jax.numpy as jnp
 
     n = 1024
-    a = jnp.ones((n, n), jnp.bfloat16)
+    # non-degenerate operand passed as a runtime ARGUMENT: an all-ones (or
+    # any constant) matrix lets XLA rewrite the matmul algebraically and the
+    # "calibration" then measures a reduce, reporting impossible TFLOP/s
+    a = jnp.asarray(
+        np.random.default_rng(0).standard_normal((n, n)) / np.sqrt(n),
+        jnp.bfloat16)
     flops_per_iter = 2.0 * n * n * n * 4  # 4 matmuls per link
 
     @jax.jit
-    def link(e):
+    def link(e, a):
         x = a + e.astype(jnp.bfloat16)
         for _ in range(4):
-            x = jnp.matmul(x, a)
-            x = x * 1e-3
+            x = jnp.matmul(x, a) * 0.5  # keep |x| bounded across the chain
         return jnp.sum(x).astype(jnp.float32) * 1e-30
 
-    sec = _slope_time(link, 8, 32)
+    sec = _slope_time(lambda e: link(e, a), 8, 32)
     flops = flops_per_iter / sec
     if flops > peak_flops:
         raise UnforcedMeasurement(
@@ -581,6 +585,24 @@ def main():
         for c in slam.loops.process_all_batched(pair_chunk=256):
             slam.graph.add_loop_constraint(c)
         loops_s = time.perf_counter() - t1
+
+        # WARM replay: re-run the identical loop phase on a fresh closer —
+        # all device programs are now in-process — for the steady-state
+        # per-keyframe cost.  This is the number comparable to the
+        # reference's 65.3 ms/keyframe (a mean over 11,061 calls in a
+        # long-lived process); the cold number above additionally pays the
+        # one-off executable loads of this 174-keyframe instance.
+        from tbv_slam_public_tpu.models.loopclosure import LoopCloser
+        closer2 = LoopCloser(e2e_cfg)
+        closer2.kf_peaks = list(slam.loops.kf_peaks)
+        closer2.kf_cells = list(slam.loops.kf_cells)
+        closer2.kf_odom = [np.asarray(p) for p in drift_poses[:n_kf]]
+        t1w = time.perf_counter()
+        warm_out = closer2.process_all_batched(pair_chunk=256)
+        loops_warm_s = time.perf_counter() - t1w
+        extra["e2e_loop_ms_per_keyframe_warm"] = round(
+            loops_warm_s * 1e3 / n_kf, 1)
+        extra["e2e_loops_warm_replay"] = len(warm_out)
         t2 = time.perf_counter()
         summary = slam.finish(optimize=True, solver="auto")
         finish_s = time.perf_counter() - t2

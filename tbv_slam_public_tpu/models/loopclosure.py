@@ -252,6 +252,20 @@ def db_insert_batch(db: LoopDB, slots: jnp.ndarray, descs: jnp.ndarray,
     )
 
 
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def _detect_vmapped_impl(db, descs, rings, slots, cfg, mesh=None):
+    return jax.vmap(
+        lambda d, r, s: detect(db, d, r, s, cfg, mesh=mesh),
+        in_axes=(0, 0, 0))(descs, rings, slots)
+
+
+def detect_vmapped(cfg: TBVConfig, mesh=None):
+    """Query-batched detect as a MODULE-LEVEL jitted program: every
+    LoopCloser instance with the same (cfg, mesh) shares one compiled
+    executable (a per-instance jax.jit wrapper would re-trace per closer)."""
+    return lambda db, d, r, s: _detect_vmapped_impl(db, d, r, s, cfg, mesh)
+
+
 @jax.jit
 def gather_pair_trees(store_cells: Cells, store_peaks: PointCloud,
                       q_idx: jnp.ndarray, c_idx: jnp.ndarray):
@@ -638,13 +652,9 @@ class LoopCloser:
                                       store_odom[all_q])
 
         # 2) batched detection over query waves
-        if getattr(self, "_detect_v", None) is None:
-            det_mesh = self.mesh if (self.mesh is not None
-                                     and self.mesh.devices.size > 1) else None
-            self._detect_v = jax.jit(jax.vmap(
-                lambda db, d, r, s: detect(db, d, r, s, cfg, mesh=det_mesh),
-                in_axes=(None, 0, 0, 0)))
-        detect_v = self._detect_v
+        det_mesh = self.mesh if (self.mesh is not None
+                                 and self.mesh.devices.size > 1) else None
+        detect_v = detect_vmapped(cfg, det_mesh)
         dets = []
         with timing.timer("loop_wave_detect"):
             for ci, lo in enumerate(range(0, total, detect_chunk)):
