@@ -106,12 +106,23 @@ def cmd_odometry(args, overrides: List[str]) -> int:
     pipe = OdometryPipeline(cfg)
     n = 0
     gts = []
+    chunk = max(int(getattr(args, "chunk", 0) or 0), 0)
+    buf = []  # (image, stamp, gt) accumulated for chunked device scans
     for fr in frames:
         if args.max_frames and n >= args.max_frames:
             break
-        pipe.process(fr.image, stamp=fr.stamp, gt_pose=fr.gt_pose)
+        if chunk > 1:
+            buf.append((fr.image, fr.stamp, fr.gt_pose))
+            if len(buf) == chunk:
+                pipe.process_chunk(np.stack([b[0] for b in buf]),
+                                   [b[1] for b in buf], [b[2] for b in buf])
+                buf.clear()
+        else:
+            pipe.process(fr.image, stamp=fr.stamp, gt_pose=fr.gt_pose)
         gts.append(fr.gt_pose)
         n += 1
+    for img, stamp, gt_pose in buf:  # tail (< chunk frames)
+        pipe.process(img, stamp=stamp, gt_pose=gt_pose)
 
     est = np.asarray(pipe.frame_poses)
     gt = np.stack(gts) if gts and all(g is not None for g in gts) else None
@@ -491,6 +502,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--dataset", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--chunk", type=int, default=0,
+                   help="process frames in lax.scan device chunks of this "
+                        "size (2 host transfers per chunk instead of 2-3 "
+                        "per frame; recommended 16 on TPU)")
     p.set_defaults(fn=cmd_odometry)
 
     p = sub.add_parser("slam")

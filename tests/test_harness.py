@@ -218,3 +218,28 @@ def test_sweep_multihost_partition(tmp_path, monkeypatch):
     # merged.csv covers exactly this host's share
     merged = (out / "merged.csv").read_text().strip().splitlines()
     assert len(merged) == 3  # header + 2 rows
+
+
+def test_odometry_cli_chunked_matches_per_frame(tmp_path):
+    """`odometry --chunk N` (lax.scan device chunks) must write the same
+    trajectory and checkpoint as the per-frame path."""
+    import json as _json
+    import subprocess
+    import sys
+
+    outs = {}
+    for tag, extra_args in (("seq", []), ("chunk", ["--chunk", "7"])):
+        out = tmp_path / tag
+        cmd = [sys.executable, "-m", "tbv_slam_public_tpu.harness.cli",
+               "odometry", "--dataset", "sim:25:4", "--output", str(out),
+               *extra_args, "radar.k_strongest=4",
+               "features.cell_capacity=192", "features.grid_extent=60.0",
+               "registration.cost=P2L"]
+        r = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        outs[tag] = (out, _json.loads(
+            [l for l in r.stdout.splitlines() if l.startswith("{")][-1]))
+    (seq_dir, seq_m), (chk_dir, chk_m) = outs["seq"], outs["chunk"]
+    assert seq_m["keyframes"] == chk_m["keyframes"]
+    a = np.loadtxt(seq_dir / "odom" / "00.txt")
+    b = np.loadtxt(chk_dir / "odom" / "00.txt")
+    np.testing.assert_allclose(a, b, atol=1e-5)
