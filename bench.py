@@ -543,7 +543,7 @@ def main():
         t0 = time.perf_counter()
         slam.process_frames_chunked(
             seq.images, stamps=[i * 0.25 for i in range(n_frames)],
-            gt_poses=gt_rels, chunk=16, search_loops=False)
+            gt_poses=gt_rels, chunk=32, search_loops=False)
         odom_s = time.perf_counter() - t0
         n_kf = slam.graph.num_nodes
         gt = slam.graph.gt_array()
@@ -556,7 +556,7 @@ def main():
         t0w = time.perf_counter()
         slam_w.process_frames_chunked(
             seq.images, stamps=[i * 0.25 for i in range(n_frames)],
-            gt_poses=gt_rels, chunk=16, search_loops=False)
+            gt_poses=gt_rels, chunk=32, search_loops=False)
         extra["e2e_odometry_frames_per_s_warm"] = round(
             n_frames / (time.perf_counter() - t0w), 1)
         del slam_w
