@@ -212,7 +212,10 @@ def build_contexts_batched(store_peaks: PointCloud, store_odom: jnp.ndarray,
     Returns (descs [B, A, R, S], rings [B, A, R]).
     """
     n_agg = cfg.loopclosure.n_aggregate
-    cap = cfg.loopclosure.local_map_capacity
+    # top_k needs k <= window size; a capacity beyond the aggregated window
+    # also has nothing to select
+    cap = min(cfg.loopclosure.local_map_capacity,
+              (2 * n_agg + 1) * store_peaks.xy.shape[1])
 
     def one(q):
         idxs = q + jnp.arange(-n_agg, n_agg + 1)
