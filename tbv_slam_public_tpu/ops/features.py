@@ -69,14 +69,23 @@ def _compute_cells_impl(xy, intensity, mask, *, leaf: float, radius: float,
     fmask = mask.astype(xy.dtype)
 
     # --- 1. voxel binning -------------------------------------------------
+    # MXU form (r4): the voxel id (i, j) factorizes, so the per-point
+    # scatter-add (segment_sum — scatters serialize on TPU) becomes three
+    # one-hot contractions [G,P]x[P,G] over the row/column one-hots, with
+    # the point mask folded into the row side.
     ij = jnp.floor(xy / leaf).astype(jnp.int32) + grid_cells // 2
     ij = jnp.clip(ij, 0, grid_cells - 1)
-    vox = ij[:, 0] * grid_cells + ij[:, 1]
-    vox = jnp.where(mask, vox, grid_cells * grid_cells)  # spill bin for padding
-    nbins = grid_cells * grid_cells + 1
-    counts = jax.ops.segment_sum(fmask, vox, num_segments=nbins)
-    sums = jax.ops.segment_sum(xy * fmask[:, None], vox, num_segments=nbins)
-    counts = counts.at[-1].set(0.0)  # drop spill bin
+    g = jnp.arange(grid_cells)
+    oh_i = ((ij[:, 0:1] == g[None, :]) & mask[:, None]).astype(xy.dtype)
+    oh_j = (ij[:, 1:2] == g[None, :]).astype(xy.dtype)  # [P, G]
+    hi = jax.lax.Precision.HIGHEST
+    counts = jnp.einsum("pg,ph->gh", oh_i, oh_j, precision=hi).reshape(-1)
+    sums = jnp.stack([
+        jnp.einsum("pg,ph->gh", oh_i * xy[:, 0:1], oh_j,
+                   precision=hi).reshape(-1),
+        jnp.einsum("pg,ph->gh", oh_i * xy[:, 1:2], oh_j,
+                   precision=hi).reshape(-1),
+    ], axis=-1)  # [G*G, 2]
 
     # --- 2. select top-C occupied voxels ---------------------------------
     occ_score = jnp.where(counts > 0, counts, -1.0)
