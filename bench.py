@@ -339,17 +339,21 @@ def main():
 
             return b / _checked_slope_time(cand_wave, 3, 9)
 
-        # Two INTERLEAVED sweep passes, best-of per batch: the tunneled
+        # Three INTERLEAVED sweep passes, MEDIAN per batch: the tunneled
         # backend's throughput drifts over minutes, which is what made the
         # r3 sweep non-monotonic — a sequential sweep confounds batch size
-        # with measurement time.  Min-time (max-throughput) over interleaved
-        # passes removes the drift (noise on this channel is additive).
-        for pass_ in range(2):
+        # with measurement time.  The median rejects single outlier slopes
+        # in BOTH directions (a best-of/max selection amplified a
+        # drift-window mismatch into a fabricated-looking 98k/s once; a
+        # slope between a slow t_lo window and a fast t_hi window can be
+        # arbitrarily small yet positive, passing the monotonicity guard).
+        from statistics import median
+        vals = {b: [] for b in batches}
+        for pass_ in range(3):
             for b in batches:
-                cands_per_s = measure_batch(b)
-                sweep[str(b)] = round(max(sweep.get(str(b), 0.0),
-                                          cands_per_s), 2)
+                vals[b].append(measure_batch(b))
         for b in batches:
+            sweep[str(b)] = round(median(vals[b]), 2)
             if sweep[str(b)] > best[0]:
                 best = (sweep[str(b)], b)
         extra["candidate_batch"] = best[1]
