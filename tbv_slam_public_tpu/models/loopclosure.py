@@ -482,19 +482,27 @@ class LoopCloser:
         # Bound verification cost: peaks clouds are padded to the full
         # k-strongest capacity (A*k, e.g. 16000 at the published k=40), but
         # axial-NMS peaks are sparse — keep the strongest peaks_capacity so
-        # the CorAl interaction stays O(peaks_capacity^2).
+        # the CorAl interaction stays O(peaks_capacity^2).  Host-side numpy
+        # selection (r4): the previous device compact_cloud round trip cost
+        # ~2 tunnel RTTs (~54 ms) PER KEYFRAME — most of the e2e odometry
+        # phase's host overhead.  Downstream consumers are masked
+        # reductions, so selection order is irrelevant.
         cap = self.cfg.verification.peaks_capacity
         if peaks.xy.shape[-2] > cap:
             from ..core.timing import timing
-            from ..ops import coral
 
-            n_valid = int(np.asarray(peaks.mask).sum())
+            xy = np.asarray(peaks.xy)
+            inten = np.asarray(peaks.intensity)
+            m = np.asarray(peaks.mask)
+            n_valid = int(m.sum())
             if n_valid > cap:
                 # the cap binds: weakest returns are dropped — keep it
                 # observable (time_statistics.txt counter) instead of silent
                 timing.document("peaks_capacity_dropped", n_valid - cap)
-            peaks = jax.device_get(coral.compact_cloud(
-                jax.tree.map(jnp.asarray, peaks), cap))
+            score = np.where(m, inten, -1.0)
+            idx = np.argpartition(-score, cap - 1)[:cap]
+            peaks = PointCloud(xy=xy[idx], intensity=inten[idx],
+                               mask=m[idx] & (score[idx] >= 0.0))
         self.kf_peaks.append(peaks)
         self.kf_cells.append(cells)
         self.kf_odom.append(np.asarray(odom_pose, np.float32))
