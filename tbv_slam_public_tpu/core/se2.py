@@ -122,3 +122,13 @@ def apply_np(pose, points):
     c, s = _np.cos(pose[2]), _np.sin(pose[2])
     r = _np.asarray([[c, -s], [s, c]], points.dtype)
     return points @ r.T + _np.asarray(pose[:2], points.dtype)
+
+
+def compose_np(a, b):
+    """NumPy a * b for [3] poses (wrap like ``compose``)."""
+    import numpy as _np
+
+    c, s = _np.cos(a[2]), _np.sin(a[2])
+    th = (a[2] + b[2] + _np.pi) % (2 * _np.pi) - _np.pi
+    return _np.asarray([a[0] + c * b[0] - s * b[1],
+                        a[1] + s * b[0] + c * b[1], th], _np.float32)

@@ -67,9 +67,9 @@ class PoseGraph:
                                cov=None if cov is None
                                else np.asarray(cov, np.float32)))
         # rebase the new node on the optimized begin pose (posegraph.cpp:52-73)
-        self.poses[id_end] = np.asarray(
-            se2.compose(jnp.asarray(self.poses[id_begin]),
-                        jnp.asarray(t_be, jnp.float32)), np.float32)
+        # host numpy: a jnp op here costs a tunnel round trip per keyframe
+        self.poses[id_end] = se2.compose_np(self.poses[id_begin],
+                                            np.asarray(t_be, np.float32))
 
     def add_loop_constraint(self, c: LoopConstraint,
                             etype: int = LOOP_APPEARANCE) -> None:
