@@ -285,6 +285,11 @@ class CandidateResult(struct.PyTreeNode):
     sc_sim: jnp.ndarray  # [K]
     odom_bounds: jnp.ndarray  # [K]
     align_quality: jnp.ndarray  # [K]
+    # Raw 6-feature alignment vector (X_CorAl ++ X_CFEAR) behind
+    # align_quality: lets any alignment model re-score candidates host-side
+    # (e.g. published vs in-run-trained coefficients) without re-running
+    # registration.
+    x6: jnp.ndarray  # [K, 6]
     reg_score: jnp.ndarray  # [K]
     reg_ok: jnp.ndarray  # [K] bool
     valid: jnp.ndarray  # [K] bool
@@ -333,7 +338,7 @@ def _pair_register_verify(q_cells, q_peaks, c_cells, c_peaks, taug, yaw,
         q_peaks, q_cells, jnp.zeros(3, jnp.float32),
         c_peaks, c_cells, t_be, cfg.verification)
     align_q = logistic.predict_linear(align_model, x6)
-    return t_be, res.score, res.success, align_q, cov, cov_ok
+    return t_be, res.score, res.success, align_q, x6, cov, cov_ok
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -350,7 +355,7 @@ def register_and_verify_pairs(
     its OWN query — the offline wave form (sequential candidate loop
     loopclosure.cpp:621-733 becomes one vmapped program; shard the M axis
     across chips for multi-chip sweeps)."""
-    t_be, score, reg_ok, align_q, cov, cov_ok = jax.vmap(
+    t_be, score, reg_ok, align_q, x6, cov, cov_ok = jax.vmap(
         lambda a, b, c, d, e, f: _pair_register_verify(
             a, b, c, d, e, f, align_model, cfg)
     )(q_cells, q_peaks, c_cells, c_peaks, taug, yaw)
@@ -359,8 +364,8 @@ def register_and_verify_pairs(
     ok = pair_valid & reg_ok
     return CandidateResult(
         t_be=t_be, prob=jnp.where(ok, prob, 0.0), sc_sim=sc_sim,
-        odom_bounds=odom_bounds, align_quality=align_q, reg_score=score,
-        reg_ok=reg_ok, valid=ok, cov=cov, cov_ok=cov_ok)
+        odom_bounds=odom_bounds, align_quality=align_q, x6=x6,
+        reg_score=score, reg_ok=reg_ok, valid=ok, cov=cov, cov_ok=cov_ok)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -419,17 +424,17 @@ def register_and_verify(
         x6 = verif.alignment_features(
             q_peaks, q_cells, jnp.zeros(3, jnp.float32),
             cand_peaks, cand_cells, rel, cfg.verification)
-        return logistic.predict_linear(align_model, x6)
+        return logistic.predict_linear(align_model, x6), x6
 
-    align_q = jax.vmap(verify_one)(c_peaks, c_cells, t_be)
+    align_q, x6 = jax.vmap(verify_one)(c_peaks, c_cells, t_be)
 
     x = jnp.stack([odom_bounds, sc_sim, align_q], axis=-1)
     prob = logistic.predict_proba(loop_model, x)
     ok = cand_valid & reg_ok
     return CandidateResult(
         t_be=t_be, prob=jnp.where(ok, prob, 0.0), sc_sim=sc_sim,
-        odom_bounds=odom_bounds, align_quality=align_q, reg_score=reg_score,
-        reg_ok=reg_ok, valid=ok, cov=cov, cov_ok=cov_ok,
+        odom_bounds=odom_bounds, align_quality=align_q, x6=x6,
+        reg_score=reg_score, reg_ok=reg_ok, valid=ok, cov=cov, cov_ok=cov_ok,
     )
 
 
@@ -550,18 +555,36 @@ class LoopCloser:
                           intensity=jnp.asarray(inten, jnp.float32),
                           mask=jnp.asarray(mask))
 
+    STORE_BUCKET = 256
+
     def _device_store(self):
         """Stacked device arrays of every keyframe's cells/peaks/odometry
         ([N, ...] per leaf) — the gather source for batched context building
-        and pair waves.  Rebuilt (one upload) when keyframes were added."""
+        and pair waves.  Rebuilt (one upload) when keyframes were added.
+
+        The keyframe axis pads to STORE_BUCKET multiples (masked rows, odom
+        repeated from the last real keyframe) so every downstream program has
+        a UNIVERSAL compiled shape per (bucket, chunk, config): executables
+        cache across runs and sequence lengths, and :meth:`warmup` can load
+        them before a timed phase (VERDICT r4 next #2)."""
         n = len(self.kf_odom)
         if getattr(self, "_store_n", 0) != n:
-            stack = lambda trees: jax.tree.map(
-                lambda *x: jnp.asarray(np.stack([np.asarray(v) for v in x])),
-                *trees)
+            cap = ((n + self.STORE_BUCKET - 1)
+                   // self.STORE_BUCKET) * self.STORE_BUCKET
+
+            def stack(trees):
+                return jax.tree.map(
+                    lambda *x: jnp.asarray(np.concatenate([
+                        np.stack([np.asarray(v) for v in x]),
+                        np.zeros((cap - n,) + np.asarray(x[0]).shape,
+                                 np.asarray(x[0]).dtype)])),
+                    *trees)
+
             self._store_cells = stack(self.kf_cells)
             self._store_peaks = stack(self.kf_peaks)
-            self._store_odom = jnp.asarray(np.stack(self.kf_odom))
+            odom = np.stack(self.kf_odom)
+            self._store_odom = jnp.asarray(np.concatenate(
+                [odom, np.repeat(odom[-1:], cap - n, axis=0)]))
             self._store_n = n
         return self._store_cells, self._store_peaks, self._store_odom
 
@@ -598,6 +621,59 @@ class LoopCloser:
             out.extend(self._process_one(self._processed))
             self._processed += 1
         return out
+
+    def warmup(self, detect_chunk: int = 256, pair_chunk: int = 64) -> None:
+        """Execute every loop-phase device program once on shape-identical
+        ZERO data, so compiles / persistent-cache executable loads happen
+        now instead of inside a timed wave (VERDICT r4 next #2: ~9 s of the
+        r4 "cold" loop phase was one-off executable loading, not work —
+        the reference's 65.3 ms/keyframe mean likewise excludes its process
+        startup).  No real payloads are uploaded and the descriptor DB is a
+        throwaway; the subsequent :meth:`process_all_batched` does all the
+        real work, on already-loaded executables."""
+        n = len(self.kf_odom)
+        if n == 0:
+            return
+        cfg = self.cfg
+        cap = ((n + self.STORE_BUCKET - 1)
+               // self.STORE_BUCKET) * self.STORE_BUCKET
+        zrow = lambda tree: jax.tree.map(
+            lambda x: jnp.zeros((cap,) + np.asarray(x).shape,
+                                np.asarray(x).dtype), tree)
+        zcells = zrow(self.kf_cells[0])
+        zpeaks = zrow(self.kf_peaks[0])
+        zodom = jnp.zeros((cap, 3), jnp.float32)
+        self._ensure_capacity(n)  # real DB growth is host-side and one-off
+        db = make_db(self.db.mask.shape[0], cfg)
+        q = jnp.arange(detect_chunk, dtype=jnp.int32)
+        d, r = build_contexts_batched(zpeaks, zodom, q,
+                                      jnp.asarray(n, jnp.int32), cfg)
+        db = db_insert_batch(db, q, d[:, 0], r[:, 0], zodom[q])
+        det_mesh = self.mesh if (self.mesh is not None
+                                 and self.mesh.devices.size > 1) else None
+        det = detect_vmapped(cfg, det_mesh)(db, d, r, q)
+        align = det_mesh.devices.size if det_mesh is not None else 1
+        pchunk = ((pair_chunk + align - 1) // align) * align
+        idx = jnp.zeros((pchunk,), jnp.int32)
+        q_cells, q_peaks, c_cells, c_peaks = gather_pair_trees(
+            zcells, zpeaks, idx, idx)
+        zp = jnp.zeros((pchunk,), jnp.float32)
+        if det_mesh is not None:
+            from ..parallel import candidates as par_cand
+
+            res = par_cand.sharded_register_and_verify_pairs(
+                det_mesh, q_cells, q_peaks, c_cells, c_peaks,
+                jnp.zeros((pchunk, 3), jnp.float32), zp, zp, zp,
+                jnp.ones((pchunk,), bool), self.align_model,
+                self.loop_model, cfg)
+        else:
+            res = register_and_verify_pairs(
+                q_cells, q_peaks, c_cells, c_peaks,
+                jnp.zeros((pchunk, 3), jnp.float32), zp, zp, zp,
+                jnp.ones((pchunk,), bool), self.align_model,
+                self.loop_model, cfg)
+        # one host fetch forces the whole chain on a lazily-executing backend
+        np.asarray(res.prob), np.asarray(det.dist)
 
     def process_all_batched(self, detect_chunk: int = 256,
                             pair_chunk: int = 64) -> List[LoopConstraint]:
@@ -645,7 +721,10 @@ class LoopCloser:
             # chunks ALWAYS pad to detect_chunk: one universal compiled
             # shape per configuration, reused across sequence lengths and
             # cached across runs (a 174-keyframe run otherwise compiles
-            # one-off shape-174 programs)
+            # one-off shape-174 programs).  DB insertion is chunked the same
+            # way (padded slots clamp to the last real keyframe — duplicate
+            # writes of identical values) so no program shape depends on the
+            # total keyframe count.
             for lo in range(0, total, detect_chunk):
                 hi = min(lo + detect_chunk, total)
                 pad = detect_chunk - (hi - lo)
@@ -656,11 +735,8 @@ class LoopCloser:
                                               n_total, cfg)
                 descs_dev.append(d)
                 rings_dev.append(r)
-            all_q = jnp.arange(start, n)
-            d0 = jnp.concatenate([d[:, 0] for d in descs_dev])[:total]
-            r0 = jnp.concatenate([r[:, 0] for r in rings_dev])[:total]
-            self.db = db_insert_batch(self.db, all_q, d0, r0,
-                                      store_odom[all_q])
+                self.db = db_insert_batch(self.db, q, d[:, 0], r[:, 0],
+                                          store_odom[q])
 
         # 2) batched detection over query waves
         det_mesh = self.mesh if (self.mesh is not None
@@ -740,6 +816,7 @@ class LoopCloser:
                     prob=float(r.prob), sc_sim=float(r.sc_sim),
                     odom_bounds=float(r.odom_bounds),
                     alignment_quality=float(r.align_quality),
+                    x6=np.asarray(r.x6).tolist(),
                     t_be=np.asarray(r.t_be).tolist(), guess_nr=int(k),
                     reg_ok=bool(r.reg_ok)))
             cand.sort(key=lambda kr: -float(kr[1].prob))
@@ -803,6 +880,7 @@ class LoopCloser:
                 prob=float(res.prob[i]), sc_sim=float(res.sc_sim[i]),
                 odom_bounds=float(res.odom_bounds[i]),
                 alignment_quality=float(res.align_quality[i]),
+                x6=np.asarray(res.x6[i]).tolist(),
                 t_be=res.t_be[i].tolist(), guess_nr=i,
                 reg_ok=bool(res.reg_ok[i]),
             ))

@@ -100,6 +100,27 @@ def perturbed_training_features(
     return x, y
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def batched_training_features(
+    cur_peaks, cur_cells, cur_poses,  # [B, ...] stacked scan pairs
+    prev_peaks, prev_cells, prev_poses,
+    perturbations: jnp.ndarray,  # [K, 3]
+    cfg: VerificationConfig,
+):
+    """Perturbed training features for a stacked batch of scan pairs in ONE
+    device program (flattened [B*K, 6] / [B*K]) — the per-pair
+    ``AlignmentLearner.add_training_pair`` loop costs a device round trip per
+    keyframe, ruinous through a tunneled TPU (~27 ms each)."""
+
+    def one(cp, cc, cpos, pp, pc, ppos):
+        return perturbed_training_features(cp, cc, cpos, pp, pc, ppos,
+                                           perturbations, cfg)
+
+    x, y = jax.vmap(one)(cur_peaks, cur_cells, cur_poses,
+                         prev_peaks, prev_cells, prev_poses)
+    return x.reshape(-1, x.shape[-1]), y.reshape(-1)
+
+
 class AlignmentLearner:
     """Host-side trainer for the combined 6-feature alignment classifier.
 
