@@ -313,6 +313,76 @@ def _pcg_solve(b, edges, w, Jb, Je, diag_blocks, gauge_mask, lam, iters, tol):
     return x
 
 
+def _ptd_interior(Dr, Orr, f_prev):
+    """Segment-interior elimination for a batch of segments: Dr/Orr
+    [B, seg, 3, 3] (any B — the full set, or one device's shard), ``f_prev``
+    [B, 3, 3] the coupling from each segment's PRECEDING separator into its
+    first node (zeros for the global first segment).
+
+    Returns the per-segment factors and separator-reduction contributions —
+    everything that is embarrassingly parallel across segments, so a
+    distributed caller can shard B across a mesh (parallel.pgo)."""
+    import jax.scipy.linalg as jsl
+
+    nb, seg = Dr.shape[0], Dr.shape[1]
+    m = seg - 1  # interior nodes per segment
+
+    # segment interior matrices A [B, 3m, 3m]
+    A = jnp.zeros((nb, m, 3, m, 3), Dr.dtype)
+    for i in range(m):
+        A = A.at[:, i, :, i, :].set(Dr[:, i])
+    for i in range(m - 1):
+        A = A.at[:, i, :, i + 1, :].set(Orr[:, i])
+        A = A.at[:, i + 1, :, i, :].set(
+            jnp.swapaxes(Orr[:, i], -1, -2))
+    A = A.reshape(nb, 3 * m, 3 * m)
+    eye_m = jnp.eye(3 * m, dtype=Dr.dtype)
+    L = jnp.linalg.cholesky(A + 1e-12 * eye_m)
+    A_inv = jax.vmap(lambda lb: jsl.cho_solve((lb, True), eye_m))(L)
+
+    # couplings: c_s = O[seg interior last -> separator s] (edge m-1 of chunk)
+    c = Orr[:, m - 1]  # [B, 3, 3] node (s, m-1) -> sep s
+    d_sep = Dr[:, seg - 1]  # [B, 3, 3]
+
+    # E_s: segment-to-own-separator coupling lives at interior row m-1;
+    # F_s: segment s's coupling to separator s-1 lives at interior row 0.
+    E = jnp.zeros((nb, 3 * m, 3), Dr.dtype).at[:, 3 * (m - 1):, :].set(c)
+    F = jnp.zeros((nb, 3 * m, 3), Dr.dtype).at[:, :3, :].set(
+        jnp.swapaxes(f_prev, -1, -2))
+    Ainv_E = jnp.einsum("bij,bjk->bik", A_inv, E,
+                        precision=jax.lax.Precision.HIGHEST)
+    Ainv_F = jnp.einsum("bij,bjk->bik", A_inv, F,
+                        precision=jax.lax.Precision.HIGHEST)
+    EtAE = jnp.einsum("bri,brj->bij", E, Ainv_E)
+    FtAF = jnp.einsum("bri,brj->bij", F, Ainv_F)
+    FtAE = jnp.einsum("bri,brj->bij", F, Ainv_E)
+    return dict(A_inv=A_inv, E=E, F=F, Ainv_E=Ainv_E, Ainv_F=Ainv_F,
+                EtAE=EtAE, FtAF=FtAF, FtAE=FtAE, d_sep=d_sep)
+
+
+def _ptd_reduce(d_sep, EtAE, FtAF, FtAE):
+    """Assemble + invert the GLOBAL reduced separator system from per-segment
+    contributions [B, 3, 3] (dense 3B x 3B: B is small)."""
+    import jax.scipy.linalg as jsl
+
+    nb = d_sep.shape[0]
+    # D~_s = D_sep_s - E_s^T A_s^{-1} E_s - F_{s+1}^T A_{s+1}^{-1} F_{s+1}
+    FtAF_next = jnp.concatenate([FtAF[1:], jnp.zeros_like(FtAF[:1])], 0)
+    d_red = d_sep - EtAE - FtAF_next
+    # off-diagonal (sep s, sep s+1): - F_{s+1}^T A_{s+1}^{-1} E_{s+1}
+    o_red = -jnp.concatenate([FtAE[1:], jnp.zeros_like(FtAE[:1])], 0)
+
+    R = jnp.zeros((nb, 3, nb, 3), d_sep.dtype)
+    di = jnp.arange(nb)
+    R = R.at[di, :, di, :].set(d_red)
+    R = R.at[di[:-1], :, di[:-1] + 1, :].set(o_red[:-1])
+    R = R.at[di[:-1] + 1, :, di[:-1], :].set(
+        jnp.swapaxes(o_red[:-1], -1, -2))
+    R = R.reshape(3 * nb, 3 * nb)
+    eye_r = jnp.eye(3 * nb, dtype=d_sep.dtype)
+    return jsl.cho_solve(jsl.cho_factor(R + 1e-12 * eye_r), eye_r)
+
+
 def _partitioned_tridiag_prepare(D, O, seg: int):
     """Factorization phase of the substructured block-tridiagonal solve.
 
@@ -331,94 +401,61 @@ def _partitioned_tridiag_prepare(D, O, seg: int):
     N must be divisible by seg.  Returns an opaque context for
     :func:`_partitioned_tridiag_apply`.
     """
-    import jax.scipy.linalg as jsl
-
     n = D.shape[0]
     assert n % seg == 0, (n, seg)
     nb = n // seg
-    m = seg - 1  # interior nodes per segment
+    m = seg - 1
     Dr = D.reshape(nb, seg, 3, 3)
     Orr = O.reshape(nb, seg, 3, 3)
-
-    # segment interior matrices A [B, 3m, 3m]
-    A = jnp.zeros((nb, m, 3, m, 3), D.dtype)
-    for i in range(m):
-        A = A.at[:, i, :, i, :].set(Dr[:, i])
-    for i in range(m - 1):
-        A = A.at[:, i, :, i + 1, :].set(Orr[:, i])
-        A = A.at[:, i + 1, :, i, :].set(
-            jnp.swapaxes(Orr[:, i], -1, -2))
-    A = A.reshape(nb, 3 * m, 3 * m)
-    eye_m = jnp.eye(3 * m, dtype=D.dtype)
-    L = jnp.linalg.cholesky(A + 1e-12 * eye_m)
-    A_inv = jax.vmap(lambda lb: jsl.cho_solve((lb, True), eye_m))(L)
-
-    # couplings: c_s = O[seg interior last -> separator s] (edge m-1 of chunk)
-    # f_s = O[separator s -> first node of chunk s+1]     (edge seg-1 of chunk)
-    c = Orr[:, m - 1]  # [B, 3, 3] node (s, m-1) -> sep s
-    f = Orr[:, seg - 1]  # [B, 3, 3] sep s -> node (s+1, 0); f[B-1] == 0
-    d_sep = Dr[:, seg - 1]  # [B, 3, 3]
-
-    # E_s: segment-to-own-separator coupling lives at interior row m-1;
-    # F_s: segment s's coupling to separator s-1 lives at interior row 0.
-    E = jnp.zeros((nb, 3 * m, 3), D.dtype).at[:, 3 * (m - 1):, :].set(c)
+    # f_s = O[separator s -> first node of chunk s+1] (edge seg-1 of chunk)
+    f = Orr[:, seg - 1]  # [B, 3, 3]; f[B-1] == 0
     f_prev = jnp.concatenate([jnp.zeros_like(f[:1]), f[:-1]], 0)
-    F = jnp.zeros((nb, 3 * m, 3), D.dtype).at[:, :3, :].set(
-        jnp.swapaxes(f_prev, -1, -2))
-    Ainv_E = jnp.einsum("bij,bjk->bik", A_inv, E,
-                        precision=jax.lax.Precision.HIGHEST)
-    Ainv_F = jnp.einsum("bij,bjk->bik", A_inv, F,
-                        precision=jax.lax.Precision.HIGHEST)
+    loc = _ptd_interior(Dr, Orr, f_prev)
+    R_inv = _ptd_reduce(loc["d_sep"], loc["EtAE"], loc["FtAF"], loc["FtAE"])
+    return dict(n=n, nb=nb, seg=seg, m=m, A_inv=loc["A_inv"], E=loc["E"],
+                F=loc["F"], Ainv_E=loc["Ainv_E"], Ainv_F=loc["Ainv_F"],
+                R_inv=R_inv)
 
-    # reduced separator system (dense 3B x 3B: B is small)
-    # D~_s = D_sep_s - E_s^T A_s^{-1} E_s - F_{s+1}^T A_{s+1}^{-1} F_{s+1}
-    EtAE = jnp.einsum("bri,brj->bij", E, Ainv_E)
-    FtAF = jnp.einsum("bri,brj->bij", F, Ainv_F)
-    FtAF_next = jnp.concatenate([FtAF[1:], jnp.zeros_like(FtAF[:1])], 0)
-    d_red = d_sep - EtAE - FtAF_next
-    # off-diagonal (sep s, sep s+1): - F_{s+1}^T A_{s+1}^{-1} E_{s+1}
-    FtAE = jnp.einsum("bri,brj->bij", F, Ainv_E)
-    o_red = -jnp.concatenate([FtAE[1:], jnp.zeros_like(FtAE[:1])], 0)
 
-    R = jnp.zeros((nb, 3, nb, 3), D.dtype)
-    di = jnp.arange(nb)
-    R = R.at[di, :, di, :].set(d_red)
-    R = R.at[di[:-1], :, di[:-1] + 1, :].set(o_red[:-1])
-    R = R.at[di[:-1] + 1, :, di[:-1], :].set(
-        jnp.swapaxes(o_red[:-1], -1, -2))
-    R = R.reshape(3 * nb, 3 * nb)
-    eye_r = jnp.eye(3 * nb, dtype=D.dtype)
-    R_inv = jsl.cho_solve(jsl.cho_factor(R + 1e-12 * eye_r), eye_r)
-    return dict(n=n, nb=nb, seg=seg, m=m, A_inv=A_inv, E=E, F=F,
-                Ainv_E=Ainv_E, Ainv_F=Ainv_F, R_inv=R_inv)
+def _ptd_apply_interior(A_inv, E, F, b_r):
+    """Per-segment forward phase of the solve: ``b_r`` [B, seg, 3, K] (the
+    segment batch may be a device-local shard).  Returns (Ainv_b [B,3m,K],
+    EtAb [B,3,K], FtAb [B,3,K], b_sep [B,3,K])."""
+    seg = b_r.shape[1]
+    nb, k = b_r.shape[0], b_r.shape[-1]
+    b_int = b_r[:, :seg - 1].reshape(nb, 3 * (seg - 1), k)
+    Ainv_b = jnp.einsum("bij,bjk->bik", A_inv, b_int,
+                        precision=jax.lax.Precision.HIGHEST)
+    b_sep = b_r[:, seg - 1]  # [B, 3, K]
+    EtAb = jnp.einsum("bri,brk->bik", E, Ainv_b)
+    FtAb = jnp.einsum("bri,brk->bik", F, Ainv_b)
+    return Ainv_b, EtAb, FtAb, b_sep
+
+
+def _ptd_apply_back(Ainv_E, Ainv_F, Ainv_b, x_sep, x_sep_prev):
+    """Per-segment back-substitution:
+    x_seg_s = A^{-1} b_seg - A^{-1}E x_sep_s - A^{-1}F x_sep_{s-1}."""
+    return (Ainv_b
+            - jnp.einsum("bri,bik->brk", Ainv_E, x_sep)
+            - jnp.einsum("bri,bik->brk", Ainv_F, x_sep_prev))
 
 
 def _partitioned_tridiag_apply(ctx, b):
     """Solve phase: b [N,3,K] -> T^{-1} b using a prepared factorization.
     Pure MXU matmuls — no factorizations, no triangular solves."""
     n, nb, seg, m = ctx["n"], ctx["nb"], ctx["seg"], ctx["m"]
-    A_inv, E, F = ctx["A_inv"], ctx["E"], ctx["F"]
-    Ainv_E, Ainv_F, R_inv = ctx["Ainv_E"], ctx["Ainv_F"], ctx["R_inv"]
     k = b.shape[-1]
     b_r = b.reshape(nb, seg, 3, k)
-    b_int = b_r[:, :seg - 1].reshape(nb, 3 * m, k)
-    Ainv_b = jnp.einsum("bij,bjk->bik", A_inv, b_int,
-                        precision=jax.lax.Precision.HIGHEST)
-    b_sep = b_r[:, seg - 1]  # [B, 3, K]
-    EtAb = jnp.einsum("bri,brk->bik", E, Ainv_b)
-    FtAb = jnp.einsum("bri,brk->bik", F, Ainv_b)
+    Ainv_b, EtAb, FtAb, b_sep = _ptd_apply_interior(
+        ctx["A_inv"], ctx["E"], ctx["F"], b_r)
     FtAb_next = jnp.concatenate([FtAb[1:], jnp.zeros_like(FtAb[:1])], 0)
     b_red = b_sep - EtAb - FtAb_next
-    x_sep = jnp.matmul(R_inv, b_red.reshape(3 * nb, k),
+    x_sep = jnp.matmul(ctx["R_inv"], b_red.reshape(3 * nb, k),
                        precision=jax.lax.Precision.HIGHEST)
     x_sep = x_sep.reshape(nb, 3, k)
-
-    # back-substitute interiors:
-    # x_seg_s = A^{-1} b_seg - A^{-1}E x_sep_s - A^{-1}F x_sep_{s-1}
     x_sep_prev = jnp.concatenate([jnp.zeros_like(x_sep[:1]), x_sep[:-1]], 0)
-    x_int = (Ainv_b
-             - jnp.einsum("bri,bik->brk", Ainv_E, x_sep)
-             - jnp.einsum("bri,bik->brk", Ainv_F, x_sep_prev))
+    x_int = _ptd_apply_back(ctx["Ainv_E"], ctx["Ainv_F"], Ainv_b,
+                            x_sep, x_sep_prev)
     x = jnp.concatenate([x_int.reshape(nb, m, 3, k),
                          x_sep[:, None, :, :]], axis=1)
     return x.reshape(n, 3, k)
