@@ -154,6 +154,86 @@ def main():
     t = slope_time(align_only, 3, 9)
     print(f"align_feats    b={b}: {t*1e3:8.2f} ms  -> {b/t:9.1f} cands/s", flush=True)
 
+    # ---- finer probes (r5): locate the sink inside registration/alignment
+    import math as _math
+    from tbv_slam_public_tpu.ops.registration import (
+        associate, _cost_grad_hess, _lm_solve, cost_code, loss_code)
+    from tbv_slam_public_tpu.core import se2
+    from tbv_slam_public_tpu.ops import coral
+
+    cost_c = cost_code(loop_rcfg.cost)
+    loss_c = loss_code(loop_rcfg.loss)
+    gate_cos = _math.cos(_math.radians(loop_rcfg.angle_gate_deg))
+
+    def make_assoc(src, pose, tgt, radius):
+        tmw = jax.vmap(se2.apply)(jnp.zeros((1, 3)), tgt.mean[None])
+        tnw = jax.vmap(se2.rotate)(jnp.zeros((1, 3)), tgt.normal[None])
+        tcw = tgt.cov[None]
+        return associate(src, pose, tmw, tnw, tcw, tgt.nsamples[None],
+                         tgt.planarity[None], tgt.valid[None], radius,
+                         weight_option=loop_rcfg.weight_option, cost=cost_c,
+                         regularization=loop_rcfg.regularization,
+                         cov_scale=loop_rcfg.cov_scale,
+                         angle_gate_cos=gate_cos)
+
+    # one association pass, vmapped over the batch
+    @jax.jit
+    def assoc_once(eps):
+        def one(cc, guess):
+            a = make_assoc(q_cells, guess, cc, loop_rcfg.radius)
+            return tree_reduce((a.weight, a.mask))
+        return jnp.sum(jax.vmap(one)(c_cells, jnp.zeros((b, 3)) + eps))
+
+    t = slope_time(assoc_once, 3, 9)
+    print(f"assoc_x1       b={b}: {t*1e3:8.2f} ms", flush=True)
+
+    # LM inner solve alone (10 iterations on a FIXED association)
+    @jax.jit
+    def lm_only(eps):
+        def one(cc, guess):
+            a = make_assoc(q_cells, guess, cc, loop_rcfg.radius)
+            th, cst, _ = _lm_solve(
+                guess, q_cells, a, cost=cost_c, loss=loss_c,
+                delta=loop_rcfg.loss_limit,
+                max_iter=loop_rcfg.max_inner_iterations,
+                init_lambda=loop_rcfg.init_lambda)
+            return tree_reduce((th, cst))
+        return jnp.sum(jax.vmap(one)(c_cells, jnp.zeros((b, 3)) + eps))
+
+    t_lm_plus = slope_time(lm_only, 3, 9)
+    print(f"assoc+lm10     b={b}: {t_lm_plus*1e3:8.2f} ms", flush=True)
+
+    # CorAl moments alone
+    @jax.jit
+    def coral_only(eps):
+        def one(cp):
+            src_w = q_peaks
+            ref_w = cp.replace(xy=cp.xy + eps)
+            r = coral.coral_quality(src_w, ref_w,
+                                    radius=cfg.verification.coral_radius,
+                                    eps=cfg.verification.coral_entropy_eps,
+                                    mode=cfg.verification.coral_mode)
+            return tree_reduce((r.joint, r.sep, r.overlap))
+        return jnp.sum(jax.vmap(one)(c_peaks))
+
+    t = slope_time(coral_only, 3, 9)
+    print(f"coral_only     b={b}: {t*1e3:8.2f} ms", flush=True)
+
+    # CFEAR evaluate_cost alone
+    @jax.jit
+    def cfear_eval_only(eps):
+        rcfg_eval = verif._cfear_eval_cfg(cfg.verification)
+        def one(cc, rel):
+            tgt = jax.tree.map(lambda x: x[None], cc)
+            c, n = reg_op.evaluate_cost(
+                q_cells, rel, tgt, jnp.zeros((1, 3)), jnp.ones(1, bool),
+                rcfg_eval)
+            return tree_reduce((c, n))
+        return jnp.sum(jax.vmap(one)(c_cells, jnp.zeros((b, 3)) + eps))
+
+    t = slope_time(cfear_eval_only, 3, 9)
+    print(f"cfear_eval     b={b}: {t*1e3:8.2f} ms", flush=True)
+
 
 if __name__ == "__main__":
     main()
