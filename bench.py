@@ -176,6 +176,12 @@ def main():
 
     _enable_compile_cache()
     import jax
+
+    if args.small:
+        # CPU smoke MUST NOT touch the (shared, contention-sensitive) TPU.
+        # The container's sitecustomize imports jax before any env var set
+        # in the launching shell takes effect, so force the platform here.
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from tbv_slam_public_tpu.core.config import (FeatureConfig, PGOConfig,

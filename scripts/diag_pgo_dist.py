@@ -19,6 +19,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")  # env alone is too late
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 

@@ -186,20 +186,38 @@ def associate(
         # Fused broadcast form (r4): XLA folds the [Cs, Ct] masked distance
         # expression straight into the argmin reduction — nothing the size
         # of the distance matrix is materialized in HBM (the earlier matmul
-        # form wrote the [Cs, Ct] product out).  The winner's distance is
-        # recomputed from the gathered point, O(Cs).
+        # form wrote the [Cs, Ct] product out).
         d2 = jnp.sum((src_mean_w[:, None, :] - t_mean[None, :, :]) ** 2, -1)
         d2 = jnp.where(t_valid[None, :], d2, jnp.inf)
         nn = jnp.argmin(d2, axis=1)  # [Cs]
-        nn_d2 = jnp.sum((src_mean_w - t_mean[nn]) ** 2, -1)
-        in_radius = (nn_d2 < radius * radius) & t_valid[nn]
 
-        nn_normal = t_normal[nn]  # [Cs, 2]
+        # Winner attributes via ONE one-hot MXU contraction (r5): the six
+        # per-array row gathers serialize on TPU — the r5 interleaved A/B
+        # measured the gather tail at 3.8 ms vs 0.66 ms for this packed
+        # matmul per 128-pair wave (scripts/profile_assoc_ab.py), and the
+        # candidate wave runs ~6 association passes per pair.  Exact: the
+        # one-hot row has a single 1.0, so every output element is one
+        # f32 product at HIGHEST precision.
+        ct = t_mean.shape[0]
+        onehot = (jnp.arange(ct)[None, :] == nn[:, None]).astype(t_mean.dtype)
+        cols = [t_mean, t_normal, t_n[:, None], t_plan[:, None],
+                t_valid[:, None].astype(t_mean.dtype)]
+        if cost == COST_P2D:
+            cols.append(t_cov.reshape(ct, 4))
+        packed = jnp.concatenate(cols, axis=-1)
+        attrs = jnp.matmul(onehot, packed,
+                           precision=jax.lax.Precision.HIGHEST)
+        nn_mean = attrs[:, 0:2]
+        nn_normal = attrs[:, 2:4]
+        n_tgt = attrs[:, 4]
+        plan_tgt = attrs[:, 5]
+        nn_valid = attrs[:, 6] > 0.5
+        nn_d2 = jnp.sum((src_mean_w - nn_mean) ** 2, -1)
+        in_radius = (nn_d2 < radius * radius) & nn_valid
+
         dir_sim = jnp.maximum(jnp.sum(src_normal_w * nn_normal, axis=1), 0.0)
         ok = in_radius & (dir_sim > angle_gate_cos) & src.valid
 
-        n_tgt = t_n[nn]
-        plan_tgt = t_plan[nn]
         sim_n = _similarity(src.nsamples, n_tgt)
         sim_plan = _similarity(src.planarity, plan_tgt)
         if weight_option == 0:
@@ -213,13 +231,14 @@ def associate(
         else:  # Combined_weights (registration.cpp:73)
             w = sim_n + dir_sim + sim_plan
 
-        nn_cov = t_cov[nn]  # [Cs, 2, 2]
         if cost == COST_P2D:
+            nn_cov = attrs[:, 7:11].reshape(-1, 2, 2)
             m = (regularization * jnp.eye(2) + nn_cov) * cov_scale
             sqrtinfo = _chol2x2_inv_sqrt(m)
         else:
-            sqrtinfo = jnp.broadcast_to(jnp.eye(2, dtype=nn_cov.dtype), nn_cov.shape)
-        return t_mean[nn], nn_normal, sqrtinfo, jnp.where(ok, w, 0.0), ok
+            sqrtinfo = jnp.broadcast_to(jnp.eye(2, dtype=t_cov.dtype),
+                                        (nn.shape[0], 2, 2))
+        return nn_mean, nn_normal, sqrtinfo, jnp.where(ok, w, 0.0), ok
 
     tm, tn, ti, w, m = jax.vmap(per_target)(
         tgt_mean_w, tgt_normal_w, tgt_cov_w, tgt_nsamples, tgt_planarity, tgt_valid

@@ -6,8 +6,8 @@ another cloud.  The pure-XLA path (ops.coral._neighbor_moments) materializes
 the [Q, P, 2] query-centered relative-position tensor in HBM — at loop
 verification scale (Q = P = 4k) that is ~400 MB of traffic per pair.
 
-This kernel tiles the (Q, P) interaction onto VMEM: for each (TQ=128,
-TP=512) tile it forms the relative positions, the radius mask and the six
+This kernel tiles the (Q, P) interaction onto VMEM: for each (up to
+512 x 1024) tile it forms the relative positions, the radius mask and the six
 running moments entirely on-chip, accumulating into a [Q, 8] output block —
 HBM traffic drops to the point lists plus the accumulator.  Moments stay
 query-centered (p - q), which keeps f32 exact (neighborhood diameters ~2 m);
@@ -27,8 +27,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TQ = 128  # query tile (sublane-friendly multiple of 8)
-TP = 512  # point tile (lane-friendly multiple of 128)
+TQ = 512  # query tile cap (r5 sweep at the 1024-peak verification shapes:
+#           512x1024 interaction tiles measured 1.56 ms/call vs 1.99 at the
+#           r4 128x512 — fewer Mosaic grid steps amortize per-tile dispatch)
+TP = 1024  # point tile cap (lane-friendly multiple of 128)
 
 
 def _moments_kernel(r2_ref, q_ref, p_ref, out_ref):
@@ -91,8 +93,11 @@ def neighbor_moments(queries, qmask, points, pmask, radius,
     """
     q = queries.shape[0]
     p = points.shape[0]
-    qp = ((q + TQ - 1) // TQ) * TQ
-    pp = ((p + TP - 1) // TP) * TP
+    # adapt tiles down for small clouds so padding never exceeds one tile
+    tq = min(TQ, ((q + 127) // 128) * 128)
+    tp = min(TP, ((p + 511) // 512) * 512)
+    qp = ((q + tq - 1) // tq) * tq
+    pp = ((p + tp - 1) // tp) * tp
 
     qt = jnp.concatenate([
         _pad_to(queries.T.astype(jnp.float32), qp, 1),
@@ -104,18 +109,18 @@ def neighbor_moments(queries, qmask, points, pmask, radius,
     ], axis=0)  # [3, Pp]
     r2 = jnp.asarray([radius * radius], jnp.float32)
 
-    grid = (qp // TQ, pp // TP)
+    grid = (qp // tq, pp // tp)
     out = pl.pallas_call(
         _moments_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((3, TQ), lambda i, j: (0, i),
+            pl.BlockSpec((3, tq), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TP), lambda i, j: (0, j),
+            pl.BlockSpec((3, tp), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TQ, 8), lambda i, j: (i, 0),
+        out_specs=pl.BlockSpec((tq, 8), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((qp, 8), jnp.float32),
         cost_estimate=pl.CostEstimate(
