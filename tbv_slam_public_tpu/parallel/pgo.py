@@ -290,4 +290,10 @@ def optimize_distributed(
         in_specs=(P(), P(), P(axis)),
         out_specs=P(),
     ))
-    return fn(poses, node_mask, edges)
+    # Same full-f32 matmul forcing as ops.posegraph.optimize (its module
+    # docstring): the MXU's default bf16 passes put ~1e-3 noise on H/g and
+    # the preconditioner factors, which stalls CG/LM — measured on the real
+    # 4470-node instance: ATE 7.28 (no progress) on TPU without this, 4.61
+    # with (CPU is f32 either way, which hid the gap until r5).
+    with jax.default_matmul_precision("highest"):
+        return fn(poses, node_mask, edges)
