@@ -343,7 +343,11 @@ def main():
                                            cfg.verification.alignment_coefs[1:])
         loop_model = logistic.from_values(cfg.verification.loop_coefs[0],
                                           cfg.verification.loop_coefs[1:])
-        batches = [batch] if args.small else sorted({batch, 32, 64, 128, 256})
+        # 512 added r5: the one-hot association rewrite removed the r4 flat
+        # ceiling and the sweep now rises through 256 (BENCH validation run:
+        # 8.7k @ 128 -> 10.7k @ 256), so the edge moved up
+        batches = [batch] if args.small \
+            else sorted({batch, 32, 64, 128, 256, 512})
         sweep = {}
         best = (0.0, 0)
         max_b = max(batches)

@@ -62,11 +62,15 @@ def run(n_dev, pre, seg):
     return json.loads(line)
 
 
-results = {}
-for pre, seg in [("chain_replicated", 0), ("chain", 16), ("chain", 32),
-                 ("chain", 64)]:
-    r1 = run(1, pre, seg)
-    r2 = run(2, pre, seg)
-    eff = r1["ms"] / (2 * r2["ms"])
-    print(json.dumps({"pre": pre, "seg": seg, "eff": round(eff, 3)}),
-          flush=True)
+if __name__ == "__main__":
+    configs = [("chain", 0), ("chain_sharded", 16), ("chain_sharded", 32),
+               ("chain_sharded", 64)]
+    if len(sys.argv) > 1:  # e.g. "chain:0,chain_sharded:64"
+        configs = [(p, int(s)) for p, s in
+                   (c.split(":") for c in sys.argv[1].split(","))]
+    for pre, seg in configs:
+        r1 = run(1, pre, seg)
+        r2 = run(2, pre, seg)
+        eff = r1["ms"] / (2 * r2["ms"])
+        print(json.dumps({"pre": pre, "seg": seg, "eff": round(eff, 3)}),
+              flush=True)

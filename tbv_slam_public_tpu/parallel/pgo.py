@@ -149,26 +149,28 @@ def optimize_distributed(
 
     ``preconditioner``:
 
-    - ``"chain"`` (default; segment-SHARDED since r5): the odometry-chain
-      block-tridiagonal T (+ damping) preconditions CG so the effective
-      Hessian I + T^{-1}U^TU is a rank-3L identity perturbation and CG
-      converges like the direct schur/Woodbury solve (the r3 block-Jacobi
-      path moved the 4470-node instance's ATE by only 2% in 32 LM
-      iterations).  r4 factorized and applied T replicated on every device
-      — the measured Amdahl term behind the 0.592 strong-scaling
-      efficiency; now the per-segment interior factorization and solves
-      shard across the mesh (:func:`_sharded_chain_prepare` /
-      :func:`_sharded_chain_apply`), with only the tiny 3B x 3B separator
-      system replicated.  Every CG matvec remains edge-sharded with one
-      psum; the preconditioner application adds two.
-    - ``"chain_replicated"``: the r4 replicated form (kept for comparison).
+    - ``"chain"`` (default): the odometry-chain block-tridiagonal T
+      (+ damping) preconditions CG so the effective Hessian
+      I + T^{-1}U^TU is a rank-3L identity perturbation and CG converges
+      like the direct schur/Woodbury solve (the r3 block-Jacobi path moved
+      the 4470-node instance's ATE by only 2% in 32 LM iterations).  The
+      factorization/apply is REPLICATED per device — deliberately: the r5
+      config matrix (`scripts/diag_pgo_matrix.py`, pinned 2-core CPU mesh,
+      real 4470-node instance) measured the segment-sharded variant SLOWER
+      in absolute terms at BOTH 1 and 2 devices (the per-segment work is
+      tiny; the extra slices + 2 psums/apply cost more than they save), so
+      replicated is the honest default on this host class.
+    - ``"chain_sharded"``: the per-segment interior factorization and
+      solves shard across the mesh (:func:`_sharded_chain_prepare` /
+      :func:`_sharded_chain_apply`), only the 3B x 3B separator system
+      replicated.  Correct at every segment size (same ATE to 3 decimals);
+      kept for large-mesh TPU deployments where ICI psums are cheap and
+      the segment batch is worth splitting.
     - ``"jacobi"``: the r3 block-Jacobi diagonal.
 
-    ``precond_seg``: segment size of the sharded chain preconditioner.
-    Defaults to 4 * cfg.schur_seg: a larger segment shifts work from the
-    REPLICATED 3B x 3B separator inverse into the SHARDED interior batch —
-    the opposite trade from the single-chip schur solver, whose seg=16
-    minimizes total factorization FLOPs.
+    ``precond_seg``: segment size of the ``chain_sharded`` variant
+    (default 4 * cfg.schur_seg: a larger segment shifts work from the
+    replicated 3B x 3B separator inverse into the sharded interior batch).
     """
     n = poses.shape[0]
     axis = mesh.axis_names[0]
@@ -204,7 +206,7 @@ def optimize_distributed(
                 hv = pg._hvp(v, edges, w, Jb, Je, gauge_mask)
                 return jax.lax.psum(hv, axis) + lam_diag * v + 1e-9 * v
 
-            if preconditioner in ("chain", "chain_replicated"):
+            if preconditioner in ("chain", "chain_sharded"):
                 wJb, wJe = blocks  # sqrt(w)-weighted whitened jacobians
                 free_b = gauge_mask[edges.idx[:, 0]]
                 free_e = gauge_mask[edges.idx[:, 1]]
@@ -214,7 +216,7 @@ def optimize_distributed(
                                                 gauge_mask)
                 D = jax.lax.psum(D_loc, axis)
                 O = jax.lax.psum(O_loc, axis)
-                if preconditioner == "chain":
+                if preconditioner == "chain_sharded":
                     prep = _sharded_chain_prepare(
                         axis, n_shards, D, O, gauge_mask, lam_diag,
                         seg=precond_seg)
@@ -247,8 +249,13 @@ def optimize_distributed(
             rz = jnp.sum(res * z)
             bnorm = jnp.sqrt(jnp.sum(b * b)) + 1e-30
 
-            def cg_body(_, s):
-                x, res, pdir, rz, active = s
+            def cg_cond(s):
+                *_, active, it = s
+                # replicated predicate: every operand is a psum'd scalar
+                return active & (it < cfg.cg_iterations)
+
+            def cg_body(s):
+                x, res, pdir, rz, active, it = s
                 ap = A(pdir)
                 denom = jnp.sum(pdir * ap)
                 alpha = jnp.where(denom > 0,
@@ -261,13 +268,17 @@ def optimize_distributed(
                 pn = zn + beta * pdir
                 done = jnp.sqrt(jnp.sum(rn * rn)) < cfg.cg_tol * bnorm
                 keep = active & ~done & (denom > 0)
-                pick = lambda a_new, a_old: jnp.where(active, a_new, a_old)
-                return (pick(xn, x), pick(rn, res), pick(pn, pdir),
-                        jnp.where(active, rzn, rz), keep)
+                return (xn, rn, pn, rzn, keep, it + 1)
 
-            step, *_ = jax.lax.fori_loop(
-                0, cfg.cg_iterations, cg_body,
-                (x, res, pdir, rz, jnp.asarray(True)))
+            # while_loop, not masked fori (r5): with the chain
+            # preconditioner CG converges in far fewer than cg_iterations
+            # rounds, and a masked fori still EXECUTES every remaining
+            # iteration's matvec + psum.  Same iterate trajectory (the fori
+            # form froze the state after convergence; this stops computing).
+            step, *_ = jax.lax.while_loop(
+                cg_cond, cg_body,
+                (x, res, pdir, rz, jnp.asarray(True),
+                 jnp.asarray(0, jnp.int32)))
             step = jnp.where(gauge_mask[:, None], step, 0.0)
             cand = p + step
             cand = cand.at[:, 2].set(se2.wrap_angle(cand[:, 2]))
