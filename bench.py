@@ -796,14 +796,21 @@ def main():
                                       search_loops=False)
         cold_s = time.perf_counter() - t0
         del slam_c
-        # warm pass: the steady-state number
-        slam_w = TBVSLAM(ff_cfg)
-        t0 = time.perf_counter()
-        slam_w.process_frames_chunked(seqf.images, stamps=stamps, chunk=16,
-                                      search_loops=False)
-        warm_s = time.perf_counter() - t0
+        # warm passes: median of three (a single 48-frame pass swung 2x
+        # between otherwise-identical runs on the drifting tunnel)
+        from statistics import median
+        warm_times = []
+        for _ in range(3):
+            slam_w = TBVSLAM(ff_cfg)
+            t0 = time.perf_counter()
+            slam_w.process_frames_chunked(seqf.images, stamps=stamps,
+                                          chunk=16, search_loops=False)
+            warm_times.append(time.perf_counter() - t0)
+        warm_s = median(warm_times)
         fps = n_ff / warm_s
         extra["e2e_odometry_frames_per_s_warm_fullscale"] = round(fps, 1)
+        extra["e2e_fullscale_warm_passes_s"] = [round(t, 2)
+                                               for t in warm_times]
         extra["e2e_fullscale_frames"] = n_ff
         extra["e2e_fullscale_cold_s"] = round(cold_s, 2)
         extra["e2e_fullscale_keyframes"] = int(slam_w.graph.num_nodes)
