@@ -737,6 +737,12 @@ class LoopCloser:
                 rings_dev.append(r)
                 self.db = db_insert_batch(self.db, q, d[:, 0], r[:, 0],
                                           store_odom[q])
+            # force the pending chain (store upload -> contexts -> inserts)
+            # to execute HERE: on the lazily-executing tunneled backend the
+            # work would otherwise bill to whichever later bucket first
+            # fetches a value, corrupting the per-bucket breakdown the
+            # bench reports (one ~27 ms round trip, once per wave)
+            np.asarray(self.db.mask[:1])
 
         # 2) batched detection over query waves
         det_mesh = self.mesh if (self.mesh is not None

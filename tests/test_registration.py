@@ -299,3 +299,59 @@ def test_sampled_covariance_shared_association_matches_reassociated(rng):
     assert bool(ok_fast) == bool(ok_ref)
     np.testing.assert_allclose(np.asarray(cov_fast), np.asarray(cov_ref),
                                rtol=0.25, atol=1e-4)
+
+
+@pytest.mark.parametrize("cost", ["P2L", "P2D"])
+def test_associate_onehot_matches_numpy_gather(rng, cost):
+    """The r5 packed one-hot MXU winner-attribute selection must be EXACT —
+    bitwise equal to a plain numpy argmin + row gather (the one-hot row has
+    a single 1.0, so every output element is one f32 product at HIGHEST
+    precision)."""
+    import math
+
+    cs, ct = 96, 80
+    src = features.compute_cells(
+        PointCloud(xy=jnp.asarray(rng.uniform(-40, 40, (cs * 4, 2)),
+                                  jnp.float32),
+                   intensity=jnp.asarray(rng.uniform(60, 200, (cs * 4,)),
+                                         jnp.float32),
+                   mask=jnp.ones((cs * 4,), bool)),
+        FeatureConfig(resolution=3.0, cell_capacity=cs, grid_extent=50.0))
+    t_mean = rng.uniform(-40, 40, (1, ct, 2)).astype(np.float32)
+    nrm = rng.normal(size=(1, ct, 2)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    t_cov = np.broadcast_to(0.2 * np.eye(2, dtype=np.float32),
+                            (1, ct, 2, 2)).copy()
+    t_cov[..., 0, 0] += rng.uniform(0, 0.3, (1, ct)).astype(np.float32)
+    t_n = rng.uniform(3, 30, (1, ct)).astype(np.float32)
+    t_plan = rng.uniform(0, 1, (1, ct)).astype(np.float32)
+    t_valid = rng.uniform(size=(1, ct)) > 0.25
+    pose = jnp.asarray([0.5, -0.3, 0.1], jnp.float32)
+
+    cost_code = registration.cost_code(cost)
+    a = registration.associate(
+        src, pose, jnp.asarray(t_mean), jnp.asarray(nrm), jnp.asarray(t_cov),
+        jnp.asarray(t_n), jnp.asarray(t_plan), jnp.asarray(t_valid),
+        2.0, weight_option=4, cost=cost_code, regularization=0.1,
+        cov_scale=1.0, angle_gate_cos=math.cos(math.radians(30.0)))
+
+    # numpy reference: argmin + direct row gather
+    src_w = np.asarray(se2.apply(pose, src.mean))
+    d2 = np.sum((src_w[:, None, :] - t_mean[0][None, :, :]) ** 2, -1)
+    d2 = np.where(t_valid[0][None, :], d2, np.inf)
+    nn = np.argmin(d2, axis=1)
+    np.testing.assert_array_equal(np.asarray(a.tgt_mean_w[0]),
+                                  t_mean[0][nn])
+    np.testing.assert_array_equal(np.asarray(a.tgt_normal_w[0]), nrm[0][nn])
+    in_radius = (d2[np.arange(cs), nn] < 4.0) & t_valid[0][nn]
+    # masked-out rows must agree with the gated reference
+    assert not np.any(np.asarray(a.mask[0]) & ~in_radius)
+    if cost == "P2D":
+        # sqrtinfo derives from the gathered covariance: check the gather
+        # by reconstructing it from the returned sqrt-information
+        si = np.asarray(a.tgt_sqrtinfo[0])  # U^-T with U^T U = m
+        m_ref = (0.1 * np.eye(2) + t_cov[0][nn]) * 1.0
+        m_rec = np.linalg.inv(si @ np.swapaxes(si, -1, -2))
+        ok = np.asarray(a.mask[0])
+        np.testing.assert_allclose(m_rec[ok], m_ref[ok], rtol=2e-4,
+                                   atol=2e-5)
