@@ -1,7 +1,9 @@
 #!/usr/bin/env python
-"""Interleaved A/B of the association pass: XLA broadcast-argmin vs Pallas
-fused kernel, plus the gather/weight tail — same process, alternating
-measurement windows so tunnel drift cancels."""
+"""Interleaved A/B of the association pass: XLA broadcast-argmin, its
+gather tail, and the packed one-hot MXU selection — same process,
+alternating measurement windows so tunnel drift cancels.  (The r5 Pallas
+fused-argmin kernel variant was measured here too — parity with XLA's own
+fusion, recorded in artifacts/profile_wave_r5.md — and then removed.)"""
 import os
 import sys
 import time
@@ -13,8 +15,6 @@ import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
-
-from tbv_slam_public_tpu.pallas import assoc_argmin
 
 B, CS, CT = 128, 512, 512
 rng = np.random.default_rng(0)
@@ -35,9 +35,6 @@ def xla_argmin(qb, pb, pvb):
         nn = jnp.argmin(d2, axis=1)
         return nn, jnp.sum((qq - pp_[nn]) ** 2, -1)
     return jax.vmap(one)(qb, pb, pvb)
-
-
-pallas_argmin = jax.jit(jax.vmap(assoc_argmin.nn_argmin))
 
 
 @jax.jit
@@ -64,17 +61,6 @@ def slope(fn, lo=8, hi=24, reps=3):
 def f_xla(e):
     nn, d2 = xla_argmin(q + e, p, pv)
     return jnp.sum(d2) * 1e-20 + jnp.sum(nn).astype(jnp.float32) * 1e-20
-
-
-def f_pal(e):
-    nn, d2 = pallas_argmin(q + e, p, pv)
-    return jnp.sum(d2) * 1e-20 + jnp.sum(nn).astype(jnp.float32) * 1e-20
-
-
-def f_pal_gather(e):
-    nn, d2 = pallas_argmin(q + e, p, pv)
-    s = gather_tail(q, nn, p, pn, pcv, pns, ppl)
-    return jnp.sum(d2) * 1e-20 + s * 1e-20
 
 
 @jax.jit
@@ -111,8 +97,7 @@ def f_onehot(e):
 
 
 from statistics import median
-rows = {"xla_argmin": f_xla, "pallas_argmin": f_pal,
-        "pallas+gathers": f_pal_gather,
+rows = {"xla_argmin": f_xla,
         "xla+gathers": f_xla_full_gather,
         "xla+onehot_mxu": f_onehot}
 vals = {k: [] for k in rows}
