@@ -36,7 +36,7 @@ edges = posegraph.make_edges(inst.idx, inst.meas, si, inst.etype, inst.mask)
 mesh = par_pgo.make_mesh()
 jp, jm = jnp.asarray(poses), jnp.asarray(nmask)
 kw = dict(preconditioner=pre)
-if pre == "chain": kw["precond_seg"] = seg
+if seg: kw["precond_seg"] = seg
 f = lambda: par_pgo.optimize_distributed(mesh, jp, jm, edges, cfg, **kw)
 r = f(); jax.block_until_ready(r.poses)
 best = float("inf")

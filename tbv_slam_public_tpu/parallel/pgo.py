@@ -175,7 +175,16 @@ def optimize_distributed(
     n = poses.shape[0]
     axis = mesh.axis_names[0]
     n_shards = int(mesh.devices.size)
-    precond_seg = int(precond_seg or 4 * cfg.schur_seg)
+    # default segment sizes: the sharded variant wants large segments (work
+    # moves into the sharded interior batch); the replicated default wants
+    # them moderately large too — at seg=16 the 3B x 3B separator inverse
+    # (B = N/seg) costs ~0.8 GFLOP per LM iteration at reference scale,
+    # the dominant REPLICATED term of the strong-scaling measurement, and
+    # seg=32 shrinks it 8x while the interior batch stays cheap
+    if preconditioner == "chain_sharded":
+        precond_seg = int(precond_seg or 4 * cfg.schur_seg)
+    else:
+        precond_seg = int(precond_seg or 2 * cfg.schur_seg)
 
     def shard_body(poses, node_mask, edges):
         gauge_mask = node_mask & (jnp.arange(n) != 0)
@@ -227,7 +236,7 @@ def optimize_distributed(
                             _sharded_chain_apply(axis, prep, v), 0.0)
                 else:
                     prep = pg._chain_precond_prepare(
-                        D, O, gauge_mask, lam_diag, seg=cfg.schur_seg)
+                        D, O, gauge_mask, lam_diag, seg=precond_seg)
 
                     def precond(v):
                         return jnp.where(
